@@ -1,0 +1,183 @@
+"""The megakernel renderer: jitted, differentiable path tracing.
+
+The reference's recursive `ray_color` (src/camera_cpu.h:8-26) becomes a
+`lax.scan` over bounce depth carrying (origin, direction, throughput,
+radiance, alive). All rays advance in lockstep; terminated rays are masked.
+This is the correctness oracle and the gradient path — the Pallas wavefront
+kernels (ops/pallas/) are the speed path and are validated against this.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracingproject_tpu.camera import Camera, CameraDerived, generate_rays
+from raytracingproject_tpu.config import RenderSettings, T_MIN
+from raytracingproject_tpu.materials import scatter
+from raytracingproject_tpu.ops.intersect import closest_hit
+from raytracingproject_tpu.ops.vecmath import normalize
+from raytracingproject_tpu.scene import Scene
+
+SKY_WHITE = (1.0, 1.0, 1.0)
+SKY_BLUE = (0.5, 0.7, 1.0)
+
+
+def sky_color(direction: jnp.ndarray) -> jnp.ndarray:
+    """Background gradient (src/camera_cpu.h:23-25):
+    lerp(white, (0.5,0.7,1.0)) by 0.5*(unit_dir.y + 1)."""
+    unit = normalize(direction, eps=1e-12)
+    a = 0.5 * (unit[..., 1] + 1.0)
+    white = jnp.asarray(SKY_WHITE, direction.dtype)
+    blue = jnp.asarray(SKY_BLUE, direction.dtype)
+    return (1.0 - a)[..., None] * white + a[..., None] * blue
+
+
+class _PathState(NamedTuple):
+    origin: jnp.ndarray      # [R, 3]
+    direction: jnp.ndarray   # [R, 3]
+    throughput: jnp.ndarray  # [R, 3] product of attenuations so far
+    radiance: jnp.ndarray    # [R, 3] accumulated light
+    alive: jnp.ndarray       # [R] bool — still bouncing
+
+
+def _bounce(scene: Scene, time: jnp.ndarray, state: _PathState, key: jax.Array) -> _PathState:
+    """One bounce of every live ray: closest hit, scatter or sky."""
+    rec = closest_hit(
+        state.origin,
+        state.direction,
+        time,
+        scene.center0,
+        scene.center_delta,
+        scene.radius,
+        t_min=T_MIN,
+    )
+    sc = scatter(key, state.direction, rec, scene)
+
+    miss = state.alive & ~rec.hit
+    # On miss: add throughput * sky and retire (src/camera_cpu.h:23-25).
+    radiance = state.radiance + jnp.where(
+        miss[..., None], state.throughput * sky_color(state.direction), 0.0
+    )
+    # On hit: multiply throughput by attenuation; absorb (metal below
+    # hemisphere) retires the ray with no contribution (src/camera_cpu.h:20).
+    hit_live = state.alive & rec.hit
+    throughput = jnp.where(
+        hit_live[..., None], state.throughput * sc.attenuation, state.throughput
+    )
+    alive = hit_live & sc.scattered
+
+    origin = jnp.where(hit_live[..., None], rec.p, state.origin)
+    direction = jnp.where(hit_live[..., None], sc.direction, state.direction)
+    return _PathState(origin, direction, throughput, radiance, alive)
+
+
+def ray_color(
+    scene: Scene,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    time: jnp.ndarray,
+    key: jax.Array,
+    max_depth: int,
+) -> jnp.ndarray:
+    """Radiance for a batch of rays — iterative counterpart of the
+    reference's depth-limited recursion (src/camera_cpu.h:8-26). Rays still
+    alive after `max_depth` bounces contribute black (depth exhausted)."""
+    n = origin.shape[0]
+    dtype = origin.dtype
+    state = _PathState(
+        origin=origin,
+        direction=direction,
+        throughput=jnp.ones((n, 3), dtype),
+        radiance=jnp.zeros((n, 3), dtype),
+        alive=jnp.ones((n,), bool),
+    )
+    keys = jax.random.split(key, max_depth)
+
+    def step(state, k):
+        return _bounce(scene, time, state, k), None
+
+    state, _ = jax.lax.scan(step, state, keys)
+    return state.radiance
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_depth", "spp_chunk"))
+def render_pass(
+    scene: Scene,
+    cam: CameraDerived,
+    key: jax.Array,
+    *,
+    width: int,
+    height: int,
+    max_depth: int,
+    spp_chunk: int = 1,
+) -> jnp.ndarray:
+    """`spp_chunk` samples of every pixel; returns the radiance *sum*
+    [H, W, 3] over the chunk (caller divides by total spp, as
+    src/color.h:20-22)."""
+    jj, ii = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.int32),
+        jnp.arange(width, dtype=jnp.int32),
+        indexing="ij",
+    )
+    i = jnp.tile(ii.reshape(-1), spp_chunk)
+    j = jnp.tile(jj.reshape(-1), spp_chunk)
+    k_ray, k_path = jax.random.split(key)
+    origin, direction, time = generate_rays(cam, i, j, k_ray)
+    rad = ray_color(scene, origin, direction, time, k_path, max_depth)
+    return rad.reshape(spp_chunk, height, width, 3).sum(axis=0)
+
+
+def render(
+    scene: Scene,
+    camera: Camera,
+    key: jax.Array | None = None,
+    settings: RenderSettings | None = None,
+) -> jnp.ndarray:
+    """Full render: mean radiance image [H, W, 3] in linear space.
+
+    Equivalent of `camera::render` (src/camera.h:32-50) minus the PPM
+    output — use `color.to_u8` + `utils.ppm.write_ppm` for that. Sample
+    passes are chunked so each device batch stays at a static size.
+    """
+    settings = settings or RenderSettings()
+    key = key if key is not None else jax.random.PRNGKey(0)
+    width, height = camera.image_size()
+    cam = camera.derive(settings.dtype)
+    spp = camera.samples_per_pixel
+
+    pixels = width * height
+    spp_chunk = max(1, min(spp, settings.rays_per_batch // max(pixels, 1)))
+
+    acc = jnp.zeros((height, width, 3), settings.dtype)
+    done = 0
+    while done < spp:
+        chunk = min(spp_chunk, spp - done)
+        k = jax.random.fold_in(key, done)
+        acc = acc + render_pass(
+            scene,
+            cam,
+            k,
+            width=width,
+            height=height,
+            max_depth=camera.max_depth,
+            spp_chunk=chunk,
+        )
+        done += chunk
+    return acc / spp
+
+
+def render_image(
+    scene: Scene,
+    camera: Camera,
+    key: jax.Array | None = None,
+    settings: RenderSettings | None = None,
+) -> jnp.ndarray:
+    """Render and quantize to uint8 [H, W, 3] (gamma + clamp per
+    src/color.h:14-35)."""
+    from raytracingproject_tpu.color import to_u8
+
+    return to_u8(render(scene, camera, key, settings))

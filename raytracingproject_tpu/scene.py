@@ -1,0 +1,192 @@
+"""Scene representation: struct-of-arrays pytree of spheres + materials.
+
+Replaces the reference's `hittable_list` of `shared_ptr<hittable>` with
+virtual-dispatch materials (src/hittable_list.h, src/material.h) with flat
+differentiable arrays. Material dispatch becomes a masked select over
+`mat_type`; every float leaf is a gradient target for inverse rendering.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytracingproject_tpu.config import LAMBERTIAN, METAL, DIELECTRIC
+
+
+class Scene(NamedTuple):
+    """SoA sphere scene. N spheres; all arrays share the leading axis.
+
+    A stationary sphere (src/sphere.h:9-14) has center_delta == 0; a moving
+    sphere (src/sphere.h:19-28) lerps center0 -> center0+center_delta by ray
+    time. Material params are stored for every sphere regardless of type;
+    `mat_type` selects which scatter rule applies (0=lambertian, 1=metal,
+    2=dielectric — src/material.h:16-81).
+    """
+
+    center0: jnp.ndarray       # [N, 3]
+    center_delta: jnp.ndarray  # [N, 3]
+    radius: jnp.ndarray        # [N]
+    mat_type: jnp.ndarray      # [N] int32
+    albedo: jnp.ndarray        # [N, 3]
+    fuzz: jnp.ndarray          # [N]  (metal only; clamped <= 1 at build)
+    ior: jnp.ndarray           # [N]  (dielectric only)
+
+    @property
+    def num_spheres(self) -> int:
+        return self.center0.shape[0]
+
+    def pad_to(self, n: int) -> "Scene":
+        """Pad to a static capacity with inert spheres (radius 0 at infinity).
+
+        The TPU analog of the reference's fixed-capacity
+        `DataBuffer<Sphere, 200>` (src/vulkan/graphical_environment_vulkan.h:141):
+        static shapes keep XLA from recompiling as spheres are appended.
+        """
+        cur = self.num_spheres
+        if cur > n:
+            raise ValueError(f"scene has {cur} spheres > capacity {n}")
+        if cur == n:
+            return self
+        pad = n - cur
+        far = np.zeros((pad, 3), np.float32)
+        far[:, 1] = 1e9  # parked far away; radius 0 never intersects
+        return Scene(
+            center0=jnp.concatenate([self.center0, jnp.asarray(far)]),
+            center_delta=jnp.concatenate(
+                [self.center_delta, jnp.zeros((pad, 3), self.center_delta.dtype)]
+            ),
+            radius=jnp.concatenate([self.radius, jnp.zeros((pad,), self.radius.dtype)]),
+            mat_type=jnp.concatenate(
+                [self.mat_type, jnp.zeros((pad,), jnp.int32)]
+            ),
+            albedo=jnp.concatenate([self.albedo, jnp.zeros((pad, 3), self.albedo.dtype)]),
+            fuzz=jnp.concatenate([self.fuzz, jnp.zeros((pad,), self.fuzz.dtype)]),
+            ior=jnp.concatenate([self.ior, jnp.ones((pad,), self.ior.dtype)]),
+        )
+
+
+class SceneBuilder:
+    """Imperative scene construction, mirroring `hittable_list::add`
+    (src/hittable_list.h:17-23) + the material constructors.
+    """
+
+    def __init__(self) -> None:
+        self._rows: list[tuple] = []
+
+    def _add(self, center0, center_delta, radius, mat, albedo, fuzz, ior) -> None:
+        self._rows.append(
+            (
+                np.asarray(center0, np.float64),
+                np.asarray(center_delta, np.float64),
+                float(radius),
+                int(mat),
+                np.asarray(albedo, np.float64),
+                float(fuzz),
+                float(ior),
+            )
+        )
+
+    def add_lambertian(self, center, radius, albedo, center2=None) -> "SceneBuilder":
+        """Diffuse sphere (src/material.h:16-30); `center2` makes it a moving
+        sphere (src/sphere.h:19-28)."""
+        delta = (np.asarray(center2, np.float64) - np.asarray(center, np.float64)
+                 if center2 is not None else np.zeros(3))
+        self._add(center, delta, radius, LAMBERTIAN, albedo, 0.0, 1.0)
+        return self
+
+    def add_metal(self, center, radius, albedo, fuzz=0.0, center2=None) -> "SceneBuilder":
+        """Metal sphere; fuzz clamped to <= 1 (src/material.h:34)."""
+        delta = (np.asarray(center2, np.float64) - np.asarray(center, np.float64)
+                 if center2 is not None else np.zeros(3))
+        self._add(center, delta, radius, METAL, albedo, min(float(fuzz), 1.0), 1.0)
+        return self
+
+    def add_dielectric(self, center, radius, ior=1.5, center2=None) -> "SceneBuilder":
+        """Glass sphere (src/material.h:49-81); attenuation is fixed (1,1,1)."""
+        delta = (np.asarray(center2, np.float64) - np.asarray(center, np.float64)
+                 if center2 is not None else np.zeros(3))
+        self._add(center, delta, radius, DIELECTRIC, np.ones(3), 0.0, float(ior))
+        return self
+
+    def build(self, dtype=jnp.float32) -> Scene:
+        if not self._rows:
+            raise ValueError("empty scene")
+        c0, cd, r, m, al, fz, ir = zip(*self._rows)
+        return Scene(
+            center0=jnp.asarray(np.stack(c0), dtype),
+            center_delta=jnp.asarray(np.stack(cd), dtype),
+            radius=jnp.asarray(np.array(r), dtype),
+            mat_type=jnp.asarray(np.array(m), jnp.int32),
+            albedo=jnp.asarray(np.stack(al), dtype),
+            fuzz=jnp.asarray(np.array(fz), dtype),
+            ior=jnp.asarray(np.array(ir), dtype),
+        )
+
+
+def make_cover_scene(seed: int = 0, dtype=jnp.float32) -> Scene:
+    """The RTWeekend final cover scene (reference: src/main.cpp:12-53).
+
+    Ground sphere r=1000; a 22x22 grid of small spheres with material chosen
+    by threshold 0.8 (diffuse, *moving*: center2 = center + (0, U(0,0.5), 0)),
+    0.95 (metal, albedo in [0.5,1], fuzz in [0,0.5]), else glass ir=1.5;
+    grid spheres within 0.9 of (4, 0.2, 0) are skipped; three big spheres:
+    glass@(0,1,0), lambertian(0.4,0.2,0.1)@(-4,1,0), metal(0.7,0.6,0.5)@(4,1,0).
+
+    The reference uses a default-seeded global mt19937 (src/rtweekend.h:25-34);
+    we use a seeded numpy Generator — same distributions, different stream.
+    """
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    b.add_lambertian((0.0, -1000.0, 0.0), 1000.0, (0.5, 0.5, 0.5))
+
+    for a in range(-11, 11):
+        for c in range(-11, 11):
+            choose_mat = rng.random()
+            center = np.array([a + 0.9 * rng.random(), 0.2, c + 0.9 * rng.random()])
+            if np.linalg.norm(center - np.array([4.0, 0.2, 0.0])) <= 0.9:
+                continue
+            if choose_mat < 0.8:
+                albedo = rng.random(3) * rng.random(3)
+                center2 = center + np.array([0.0, rng.uniform(0.0, 0.5), 0.0])
+                b.add_lambertian(center, 0.2, albedo, center2=center2)
+            elif choose_mat < 0.95:
+                albedo = rng.uniform(0.5, 1.0, 3)
+                fuzz = rng.uniform(0.0, 0.5)
+                b.add_metal(center, 0.2, albedo, fuzz)
+            else:
+                b.add_dielectric(center, 0.2, 1.5)
+
+    b.add_dielectric((0.0, 1.0, 0.0), 1.0, 1.5)
+    b.add_lambertian((-4.0, 1.0, 0.0), 1.0, (0.4, 0.2, 0.1))
+    b.add_metal((4.0, 1.0, 0.0), 1.0, (0.7, 0.6, 0.5), 0.0)
+    return b.build(dtype)
+
+
+def make_three_sphere_scene(dtype=jnp.float32) -> Scene:
+    """Benchmark config 2 (BASELINE.md): lambertian + metal + dielectric trio
+    with a ground plane — the classic RTWeekend chapter scene."""
+    b = SceneBuilder()
+    b.add_lambertian((0.0, -100.5, -1.0), 100.0, (0.8, 0.8, 0.0))
+    b.add_lambertian((0.0, 0.0, -1.0), 0.5, (0.1, 0.2, 0.5))
+    b.add_dielectric((-1.0, 0.0, -1.0), 0.5, 1.5)
+    b.add_metal((1.0, 0.0, -1.0), 0.5, (0.8, 0.6, 0.2), 0.0)
+    return b.build(dtype)
+
+
+def make_minimal_scene(dtype=jnp.float32) -> Scene:
+    """Benchmark config 1 (BASELINE.md): one Lambertian sphere + ground."""
+    b = SceneBuilder()
+    b.add_lambertian((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5))
+    b.add_lambertian((0.0, 0.0, -1.0), 0.5, (0.7, 0.3, 0.3))
+    return b.build(dtype)
+
+
+def make_ground_scene(dtype=jnp.float32) -> Scene:
+    """The reference unit test's world: only the r=1000 ground sphere
+    (tests/tests.cpp:26-29)."""
+    b = SceneBuilder()
+    b.add_lambertian((0.0, -1000.0, 0.0), 1000.0, (0.5, 0.5, 0.5))
+    return b.build(dtype)
