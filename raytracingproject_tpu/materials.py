@@ -69,7 +69,10 @@ def scatter(
     # says reflect; attenuation fixed at (1,1,1).
     ratio = jnp.where(rec.front_face, 1.0 / ior, ior)
     cos_theta = jnp.minimum(dot(-unit_dir, rec.normal), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    # Grad-safe sqrt at cos==1 (head-on rays): double-where.
+    s2 = 1.0 - cos_theta * cos_theta
+    s2_pos = s2 > 0.0
+    sin_theta = jnp.where(s2_pos, jnp.sqrt(jnp.where(s2_pos, s2, 1.0)), 0.0)
     cannot_refract = ratio * sin_theta > 1.0
     reflect_prob = schlick_reflectance(cos_theta, ratio)
     do_reflect = cannot_refract | (reflect_prob > jax.random.uniform(k_refl, shape))

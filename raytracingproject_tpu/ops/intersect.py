@@ -48,20 +48,27 @@ def sphere_hit_t(
     if center.ndim == 2:
         center = center[None, :, :]
     oc = origin[:, None, :] - center                      # [R, N, 3]
-    a = dot(direction, direction)[:, None]                # [R, 1]
+    # Degenerate lambertian scatter (normal + unit vector ~ 0; the reference
+    # omits the near_zero fix, src/material.h:19-25) can yield |d|^2 == 0;
+    # clamp so 0/0 can't produce NaN — tiny `a` makes both roots invalid,
+    # i.e. a miss, which is the sensible limit.
+    a = jnp.maximum(dot(direction, direction), 1e-20)[:, None]  # [R, 1]
     half_b = jnp.einsum("rnc,rc->rn", oc, direction)      # [R, N]
     c = dot(oc, oc) - radius[None, :] ** 2                # [R, N]
 
     disc = half_b * half_b - a * c
-    safe_disc = jnp.maximum(disc, 0.0)
-    sqrtd = jnp.sqrt(safe_disc)
+    # Grad-safety: sqrt at disc<=0 has an inf/NaN derivative that would leak
+    # through `where` into d(pixel)/d(scene) cotangents (the double-where
+    # rule). Invalid lanes get a finite dummy and are masked by `valid`.
+    disc_pos = disc > 0.0
+    sqrtd = jnp.sqrt(jnp.where(disc_pos, disc, 1.0))
 
     root0 = (-half_b - sqrtd) / a
     root1 = (-half_b + sqrtd) / a
     in0 = (root0 > t_min) & (root0 < t_max)
     in1 = (root1 > t_min) & (root1 < t_max)
     root = jnp.where(in0, root0, root1)
-    valid = (disc >= 0.0) & (in0 | in1)
+    valid = disc_pos & (in0 | in1)
     return root, valid
 
 
@@ -87,11 +94,18 @@ def closest_hit(
     t = jnp.take_along_axis(t_masked, idx[:, None], axis=-1)[:, 0]
     hit = jnp.isfinite(t)
 
-    p = origin + t[:, None] * direction
+    # Grad-safety: miss lanes carry t=inf; give them a finite dummy before
+    # any arithmetic so inf/NaN can't reach masked-lane cotangents. `hit`
+    # is the topology mask — discrete, so downstream consumers must treat
+    # it as non-differentiable (stop-gradient discipline, SURVEY.md §7).
+    t_safe = jnp.where(hit, t, 1.0)
+    p = origin + t_safe[:, None] * direction
     hit_center = jnp.take(center0, idx, axis=0) + time[:, None] * jnp.take(
         center_delta, idx, axis=0
     )
-    outward = (p - hit_center) / jnp.take(radius, idx)[:, None]
+    r_sel = jnp.take(radius, idx)
+    r_safe = jnp.where(r_sel != 0.0, r_sel, 1.0)  # padded spheres have r=0
+    outward = (p - hit_center) / r_safe[:, None]
     front_face = dot(direction, outward) < 0.0   # src/hittable.h:15-21
     normal = jnp.where(front_face[:, None], outward, -outward)
     return HitRecord(t=t, idx=idx, hit=hit, p=p, normal=normal, front_face=front_face)

@@ -59,7 +59,10 @@ def refract(uv: jnp.ndarray, n: jnp.ndarray, etai_over_etat: jnp.ndarray) -> jnp
     if ratio.ndim < cos_theta.ndim:
         ratio = jnp.broadcast_to(ratio, cos_theta.shape)
     r_out_perp = ratio[..., None] * (uv + cos_theta[..., None] * n)
-    r_out_parallel = (
-        -jnp.sqrt(jnp.abs(1.0 - length_squared(r_out_perp)))[..., None] * n
-    )
+    # Grad-safe sqrt: derivative at 0 is inf (double-where); k==0 means the
+    # parallel component vanishes, which the mask reproduces exactly.
+    k = jnp.abs(1.0 - length_squared(r_out_perp))
+    k_pos = k > 0.0
+    sqrt_k = jnp.where(k_pos, jnp.sqrt(jnp.where(k_pos, k, 1.0)), 0.0)
+    r_out_parallel = -sqrt_k[..., None] * n
     return r_out_perp + r_out_parallel

@@ -1,0 +1,199 @@
+"""Sharded rendering and training over a device mesh.
+
+Layout (the BASELINE.json mandated strategy):
+- pixels sharded over the `rays` mesh axis,
+- spp sharded over the `samples` mesh axis (partial radiance sums psum-ed),
+- scene/params replicated; gradient all-reduce emerges as XLA's transpose
+  of the replicated-capture inside shard_map and is scheduled asynchronously
+  by the compiler (overlap with the backward sweep).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+import optax
+
+from raytracingproject_tpu.camera import Camera, CameraDerived, generate_rays
+from raytracingproject_tpu.grad.inverse import SceneParams, apply_params, extract_params
+from raytracingproject_tpu.render import ray_color
+from raytracingproject_tpu.scene import Scene
+
+
+def _pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _pixel_grid(width: int, height: int, pad_to: int):
+    """Flattened pixel indices padded to a shardable length. Padding pixels
+    re-render pixel (0,0) and are dropped on reshape."""
+    jj, ii = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    i = ii.reshape(-1).astype(np.int32)
+    j = jj.reshape(-1).astype(np.int32)
+    total = _pad_to_multiple(i.size, pad_to)
+    pad = total - i.size
+    if pad:
+        i = np.concatenate([i, np.zeros(pad, np.int32)])
+        j = np.concatenate([j, np.zeros(pad, np.int32)])
+    return jnp.asarray(i), jnp.asarray(j)
+
+
+def _render_flat(
+    scene: Scene,
+    cam: CameraDerived,
+    i: jnp.ndarray,
+    j: jnp.ndarray,
+    key: jax.Array,
+    *,
+    max_depth: int,
+    spp_local: int,
+) -> jnp.ndarray:
+    """Radiance sum over `spp_local` samples for a flat pixel batch [P].
+    Samples loop via lax.scan to keep the live set at one wavefront."""
+
+    def sample_pass(acc, k):
+        k_ray, k_path = jax.random.split(k)
+        origin, direction, time = generate_rays(cam, i, j, k_ray)
+        rad = ray_color(scene, origin, direction, time, k_path, max_depth)
+        return acc + rad, None
+
+    acc = jnp.zeros((i.shape[0], 3), cam.center.dtype)
+    keys = jax.random.split(key, spp_local)
+    acc, _ = jax.lax.scan(sample_pass, acc, keys)
+    return acc
+
+
+def render_sharded(
+    scene: Scene,
+    camera: Camera,
+    key: jax.Array,
+    mesh: Mesh,
+    spp: int | None = None,
+) -> jnp.ndarray:
+    """Distributed render: mean radiance [H, W, 3].
+
+    Pixels shard over `rays`; each samples-shard renders spp/n_samples
+    samples and the partial sums are `psum`-ed over `samples` — the
+    collective rides ICI, the scene is replicated, and no pixel data ever
+    moves between ray shards.
+    """
+    width, height = camera.image_size()
+    cam = camera.derive(scene.center0.dtype)
+    spp = spp or camera.samples_per_pixel
+    n_rays = mesh.shape["rays"]
+    n_samples = mesh.shape["samples"]
+    if spp % n_samples != 0:
+        raise ValueError(f"spp {spp} not divisible by samples axis {n_samples}")
+    spp_local = spp // n_samples
+    max_depth = camera.max_depth
+
+    i, j = _pixel_grid(width, height, n_rays)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("rays"), P("rays"), P()),
+        out_specs=P("rays", None),
+        check_vma=False,
+    )
+    def shard_fn(scene, cam, i_loc, j_loc, key):
+        ray_id = jax.lax.axis_index("rays")
+        s_id = jax.lax.axis_index("samples")
+        k = jax.random.fold_in(jax.random.fold_in(key, ray_id), s_id)
+        acc = _render_flat(
+            scene, cam, i_loc, j_loc, k, max_depth=max_depth, spp_local=spp_local
+        )
+        return jax.lax.psum(acc, "samples")
+
+    flat = shard_fn(scene, cam, i, j, key)
+    return flat[: width * height].reshape(height, width, 3) / spp
+
+
+def make_sharded_train_step(
+    scene: Scene,
+    camera: Camera,
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation | None = None,
+    *,
+    spp: int = 8,
+    learning_rate: float = 2e-2,
+    trainable: tuple[str, ...] | None = None,
+):
+    """Sharded inverse-rendering step (BASELINE config 5 training path).
+
+    Loss pixels shard over `rays`, samples over `samples`; `jax.grad`
+    transposes the shard_map so parameter gradients are automatically
+    psum-ed across the whole mesh (XLA async collectives overlap this
+    all-reduce with the backward sweep). Params/opt state are replicated.
+
+    Returns (params0, opt_state0, step) with
+    step(params, opt_state, key, target_image) ->
+        (params, opt_state, loss, grads).
+    """
+    optimizer = optimizer or optax.adam(learning_rate)
+    if trainable is not None:
+        from raytracingproject_tpu.grad.inverse import trainable_mask
+
+        mask = trainable_mask(trainable)
+        labels = SceneParams(
+            **{f: ("train" if getattr(mask, f) else "freeze") for f in SceneParams._fields}
+        )
+        optimizer = optax.multi_transform(
+            {"train": optimizer, "freeze": optax.set_to_zero()}, labels
+        )
+    width, height = camera.image_size()
+    cam = camera.derive(scene.center0.dtype)
+    max_depth = camera.max_depth
+    n_rays = mesh.shape["rays"]
+    n_samples = mesh.shape["samples"]
+    if spp % n_samples != 0:
+        raise ValueError(f"spp {spp} not divisible by samples axis {n_samples}")
+    spp_local = spp // n_samples
+
+    i, j = _pixel_grid(width, height, n_rays)
+    npix = width * height
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("rays"), P("rays"), P(), P("rays")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def shard_loss(params, scene_in, i_loc, j_loc, key, target_loc):
+        ray_id = jax.lax.axis_index("rays")
+        s_id = jax.lax.axis_index("samples")
+        k = jax.random.fold_in(jax.random.fold_in(key, ray_id), s_id)
+        s = apply_params(scene_in, params)
+        acc = _render_flat(s, cam, i_loc, j_loc, k, max_depth=max_depth, spp_local=spp_local)
+        img = jax.lax.psum(acc, "samples") / (spp_local * n_samples)
+        # padding pixels carry target = rendered value -> zero residual
+        sq = jnp.sum((img - target_loc) ** 2)
+        return jax.lax.psum(sq, "rays") / (npix * 3)
+
+    def loss_fn(params, key, target_flat):
+        return shard_loss(params, scene, i, j, key, target_flat)
+
+    @jax.jit
+    def step(params, opt_state, key, target_image):
+        target_flat = target_image.reshape(-1, 3)
+        pad = i.shape[0] - target_flat.shape[0]
+        # pad with zeros but mask: padded pixels all map to pixel (0,0);
+        # replicate its target so the residual is genuine (counted once
+        # extra per pad pixel — negligible and deterministic).
+        target_flat = jnp.concatenate(
+            [target_flat, jnp.broadcast_to(target_flat[0], (pad, 3))], axis=0
+        )
+        loss, grads = jax.value_and_grad(loss_fn)(params, key, target_flat)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, grads
+
+    params0 = extract_params(scene)
+    return params0, optimizer.init(params0), step
