@@ -1,0 +1,98 @@
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Metric: forward rays/sec on the cover scene (BASELINE config 3 geometry at
+400x225) on the current default backend. "Rays" = camera samples
+(pixels x spp); each ray additionally traverses up to max_depth bounces of
+~490-sphere intersection, so this is directly comparable across rounds at
+fixed scene/depth. vs_baseline compares against the previous round's record
+(BENCH_r*.json) when present, else 1.0.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import time
+
+# Persistent compilation cache: first driver run pays compile, later runs
+# (and later rounds) reuse it.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+
+from raytracingproject_tpu.camera import Camera
+from raytracingproject_tpu.render import render_pass
+from raytracingproject_tpu.scene import make_cover_scene
+
+WIDTH, HEIGHT = 400, 225
+MAX_DEPTH = 16
+SPP_CHUNK = 4
+TIMED_PASSES = 5
+
+
+def main() -> None:
+    scene = make_cover_scene(seed=0)
+    camera = Camera(
+        aspect_ratio=16.0 / 9.0,
+        image_width=WIDTH,
+        samples_per_pixel=SPP_CHUNK,
+        max_depth=MAX_DEPTH,
+        vfov=20.0,
+        lookfrom=(13.0, 2.0, 3.0),
+        lookat=(0.0, 0.0, 0.0),
+        defocus_angle=0.6,
+        focus_dist=10.0,
+    )
+    cam = camera.derive()
+
+    def one_pass(key):
+        return render_pass(
+            scene,
+            cam,
+            key,
+            width=WIDTH,
+            height=HEIGHT,
+            max_depth=MAX_DEPTH,
+            spp_chunk=SPP_CHUNK,
+        )
+
+    # warmup / compile
+    one_pass(jax.random.PRNGKey(0)).block_until_ready()
+
+    t0 = time.perf_counter()
+    acc = None
+    for i in range(TIMED_PASSES):
+        out = one_pass(jax.random.PRNGKey(i + 1))
+        acc = out if acc is None else acc + out
+    acc.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    rays = WIDTH * HEIGHT * SPP_CHUNK * TIMED_PASSES
+    rays_per_sec = rays / dt
+
+    prev = None
+    records = sorted(glob.glob("/root/repo/BENCH_r*.json"))
+    if records:
+        try:
+            with open(records[-1]) as f:
+                prev = json.load(f).get("value")
+        except Exception:
+            prev = None
+    vs_baseline = (rays_per_sec / prev) if prev else 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "forward_rays_per_sec_cover_scene_400x225_depth16",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
