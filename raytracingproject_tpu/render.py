@@ -44,17 +44,27 @@ class _PathState(NamedTuple):
     alive: jnp.ndarray       # [R] bool — still bouncing
 
 
-def _bounce(scene: Scene, time: jnp.ndarray, state: _PathState, key: jax.Array) -> _PathState:
-    """One bounce of every live ray: closest hit, scatter or sky."""
-    rec = closest_hit(
-        state.origin,
-        state.direction,
-        time,
-        scene.center0,
-        scene.center_delta,
-        scene.radius,
-        t_min=T_MIN,
-    )
+def _bounce(
+    scene: Scene, time: jnp.ndarray, state: _PathState, key: jax.Array, bvh=None
+) -> _PathState:
+    """One bounce of every live ray: closest hit (brute-force scan or BVH
+    traversal), scatter or sky."""
+    if bvh is not None:
+        from raytracingproject_tpu.bvh import bvh_closest_hit
+
+        rec = bvh_closest_hit(
+            state.origin, state.direction, time, scene, bvh, t_min=T_MIN
+        )
+    else:
+        rec = closest_hit(
+            state.origin,
+            state.direction,
+            time,
+            scene.center0,
+            scene.center_delta,
+            scene.radius,
+            t_min=T_MIN,
+        )
     sc = scatter(key, state.direction, rec, scene)
 
     miss = state.alive & ~rec.hit
@@ -82,10 +92,21 @@ def ray_color(
     time: jnp.ndarray,
     key: jax.Array,
     max_depth: int,
+    bvh=None,
+    early_exit: bool = False,
 ) -> jnp.ndarray:
     """Radiance for a batch of rays — iterative counterpart of the
     reference's depth-limited recursion (src/camera_cpu.h:8-26). Rays still
-    alive after `max_depth` bounces contribute black (depth exhausted)."""
+    alive after `max_depth` bounces contribute black (depth exhausted).
+
+    `bvh` (a FlatBVH built over `scene` — scene must already be in leaf
+    order, see bvh.reorder_scene) switches closest-hit to the stackless
+    traversal; forward-only (while_loop is not reverse-differentiable).
+
+    `early_exit=True` runs the bounce loop as a while_loop that stops when
+    every ray has terminated — identical radiance (bounce k consumes the
+    same fold_in(key, k) stream either way), but typical scenes finish in
+    2-4 bounces, not max_depth. Forward-only."""
     n = origin.shape[0]
     dtype = origin.dtype
     state = _PathState(
@@ -95,16 +116,32 @@ def ray_color(
         radiance=jnp.zeros((n, 3), dtype),
         alive=jnp.ones((n,), bool),
     )
-    keys = jax.random.split(key, max_depth)
 
-    def step(state, k):
-        return _bounce(scene, time, state, k), None
+    if early_exit:
+        def cond(carry):
+            depth, state = carry
+            return (depth < max_depth) & jnp.any(state.alive)
 
-    state, _ = jax.lax.scan(step, state, keys)
+        def body(carry):
+            depth, state = carry
+            k = jax.random.fold_in(key, depth)
+            return depth + 1, _bounce(scene, time, state, k, bvh)
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        return state.radiance
+
+    def step(state, depth):
+        k = jax.random.fold_in(key, depth)
+        return _bounce(scene, time, state, k, bvh), None
+
+    state, _ = jax.lax.scan(step, state, jnp.arange(max_depth))
     return state.radiance
 
 
-@partial(jax.jit, static_argnames=("width", "height", "max_depth", "spp_chunk"))
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "max_depth", "spp_chunk", "early_exit"),
+)
 def render_pass(
     scene: Scene,
     cam: CameraDerived,
@@ -114,6 +151,8 @@ def render_pass(
     height: int,
     max_depth: int,
     spp_chunk: int = 1,
+    bvh=None,
+    early_exit: bool = False,
 ) -> jnp.ndarray:
     """`spp_chunk` samples of every pixel; returns the radiance *sum*
     [H, W, 3] over the chunk (caller divides by total spp, as
@@ -127,7 +166,7 @@ def render_pass(
     j = jnp.tile(jj.reshape(-1), spp_chunk)
     k_ray, k_path = jax.random.split(key)
     origin, direction, time = generate_rays(cam, i, j, k_ray)
-    rad = ray_color(scene, origin, direction, time, k_path, max_depth)
+    rad = ray_color(scene, origin, direction, time, k_path, max_depth, bvh, early_exit)
     return rad.reshape(spp_chunk, height, width, 3).sum(axis=0)
 
 
@@ -149,6 +188,13 @@ def render(
     cam = camera.derive(settings.dtype)
     spp = camera.samples_per_pixel
 
+    bvh = None
+    if settings.use_bvh:
+        from raytracingproject_tpu.bvh import build_bvh, reorder_scene
+
+        bvh = build_bvh(scene)
+        scene = reorder_scene(scene, bvh)
+
     pixels = width * height
     spp_chunk = max(1, min(spp, settings.rays_per_batch // max(pixels, 1)))
 
@@ -165,6 +211,8 @@ def render(
             height=height,
             max_depth=camera.max_depth,
             spp_chunk=chunk,
+            bvh=bvh,
+            early_exit=True,
         )
         done += chunk
     return acc / spp
