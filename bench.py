@@ -16,11 +16,13 @@ import os
 import re
 import time
 
+import jax
+
+from raytracingproject_tpu.utils.cache import enable_compilation_cache
+
 # Persistent compilation cache: first driver run pays compile, later runs
 # (and later rounds) reuse it.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-
-import jax
+enable_compilation_cache()
 
 from raytracingproject_tpu.camera import Camera
 from raytracingproject_tpu.render import render_pass

@@ -95,6 +95,9 @@ class RendererSession:
     def init(self) -> None:
         """Device discovery + warmup — replaces instance/surface/device/
         swapchain/pipeline bring-up (src/vulkan/graphical_environment_vulkan.cpp:21-106)."""
+        from raytracingproject_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         devices = jax.devices()
         if not devices:
             _log_and_throw("no JAX devices available")
