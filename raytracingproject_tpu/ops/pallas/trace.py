@@ -30,24 +30,25 @@ from raytracingproject_tpu.scene import Scene
 
 SUBLANES = 8
 LANES = 128
-RAY_TILE = SUBLANES * LANES  # 1024 rays per grid step
+BLOCKS = 32  # (8,128) ray blocks per grid step; amortizes SMEM scalar loads
+RAY_TILE = BLOCKS * SUBLANES * LANES  # 32768 rays per grid step
 
 
 def _trace_kernel(
     sph_ref,  # SMEM (8, N) float32: rows = cx, cy, cz, mx, my, mz, radius, pad
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,  # VMEM (8, 128)
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,  # VMEM (B*8, 128)
     t_out_ref, idx_out_ref,
+    bt_ref, bi_ref,  # VMEM scratch (B*8, 128)
     *, n_spheres: int, t_min: float,
 ):
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    tm = tm_ref[:]
+    # The sphere loop is the outer `fori_loop` so its 7 scalar SMEM loads
+    # (~100 cycles each, serializing) amortize over BLOCKS*1024 rays; the
+    # inner unrolled block loop is pure pipelined VPU work with best-t/idx
+    # living in VMEM scratch across iterations.
+    bt_ref[:] = jnp.full((BLOCKS * SUBLANES, LANES), T_MAX, jnp.float32)
+    bi_ref[:] = jnp.zeros((BLOCKS * SUBLANES, LANES), jnp.int32)
 
-    a = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20)
-    inv_a = 1.0 / a
-
-    def body(s, carry):
-        best_t, best_i = carry
+    def body(s, _):
         cx = sph_ref[0, s]
         cy = sph_ref[1, s]
         cz = sph_ref[2, s]
@@ -56,35 +57,37 @@ def _trace_kernel(
         mz = sph_ref[5, s]
         rad = sph_ref[6, s]
 
-        # moving-sphere center at this ray's time (src/sphere.h:68-72)
-        ocx = ox - (cx + tm * mx)
-        ocy = oy - (cy + tm * my)
-        ocz = oz - (cz + tm * mz)
-        half_b = ocx * dx + ocy * dy + ocz * dz
-        cq = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-        disc = half_b * half_b - a * cq
-        dpos = disc > 0.0
-        sq = jnp.sqrt(jnp.where(dpos, disc, 1.0))
-        r0 = (-half_b - sq) * inv_a
-        r1 = (-half_b + sq) * inv_a
-        in0 = (r0 > t_min) & (r0 < best_t)
-        in1 = (r1 > t_min) & (r1 < best_t)
-        root = jnp.where(in0, r0, r1)
-        better = dpos & (in0 | in1)
-        best_t = jnp.where(better, root, best_t)
-        best_i = jnp.where(better, s, best_i)
-        return best_t, best_i
+        for b in range(BLOCKS):
+            sl = slice(b * SUBLANES, (b + 1) * SUBLANES)
+            ox, oy, oz = ox_ref[sl, :], oy_ref[sl, :], oz_ref[sl, :]
+            dx, dy, dz = dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :]
+            tm = tm_ref[sl, :]
+            best_t = bt_ref[sl, :]
 
-    best_t = jnp.full((SUBLANES, LANES), T_MAX, jnp.float32)
-    best_i = jnp.zeros((SUBLANES, LANES), jnp.int32)
-    # Fully unrolled sphere loop: Mosaic supports only unroll=1 or full
-    # unroll, and the rolled loop serializes ~700 cycles/sphere on scalar
-    # load latency. ~N*22 straight-line VPU ops pipeline cleanly.
-    for s in range(n_spheres):
-        best_t, best_i = body(s, (best_t, best_i))
+            a = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20)
+            inv_a = 1.0 / a
+            # moving-sphere center at this ray's time (src/sphere.h:68-72)
+            ocx = ox - (cx + tm * mx)
+            ocy = oy - (cy + tm * my)
+            ocz = oz - (cz + tm * mz)
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            cq = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+            disc = half_b * half_b - a * cq
+            dpos = disc > 0.0
+            sq = jnp.sqrt(jnp.where(dpos, disc, 1.0))
+            r0 = (-half_b - sq) * inv_a
+            r1 = (-half_b + sq) * inv_a
+            in0 = (r0 > t_min) & (r0 < best_t)
+            in1 = (r1 > t_min) & (r1 < best_t)
+            root = jnp.where(in0, r0, r1)
+            better = dpos & (in0 | in1)
+            bt_ref[sl, :] = jnp.where(better, root, best_t)
+            bi_ref[sl, :] = jnp.where(better, s, bi_ref[sl, :])
+        return 0
 
-    t_out_ref[:] = best_t
-    idx_out_ref[:] = best_i
+    jax.lax.fori_loop(0, n_spheres, body, 0)
+    t_out_ref[:] = bt_ref[:]
+    idx_out_ref[:] = bi_ref[:]
 
 
 def _pad_flat(x: jnp.ndarray, total: int) -> jnp.ndarray:
@@ -115,7 +118,7 @@ def pallas_closest_hit(
         _pad_flat(direction[:, 1], r_pad), _pad_flat(direction[:, 2], r_pad),
         _pad_flat(time, r_pad),
     ]
-    comps = [c.reshape(tiles * SUBLANES, LANES) for c in comps]
+    comps = [c.reshape(tiles * BLOCKS * SUBLANES, LANES) for c in comps]
 
     sph = jnp.stack(
         [
@@ -127,7 +130,8 @@ def pallas_closest_hit(
     ).astype(jnp.float32)  # (8, N)
 
     kernel = functools.partial(_trace_kernel, n_spheres=n, t_min=t_min)
-    ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rows = BLOCKS * SUBLANES
+    ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     t_out, idx_out = pl.pallas_call(
         kernel,
@@ -136,8 +140,12 @@ def pallas_closest_hit(
         + [ray_spec] * 7,
         out_specs=[ray_spec, ray_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((tiles * SUBLANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((tiles * SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((tiles * rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((tiles * rows, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(sph, *comps)

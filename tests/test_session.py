@@ -1,0 +1,117 @@
+"""Session API tests — the analog of the reference's Vulkan smoke test
+(tests/vulkan_tests.cpp: bring-up, shader+texture load, two spheres,
+3-second interactive loop, pass = no crash) plus the error model the
+reference enforces via LOG_AND_THROW."""
+
+import numpy as np
+import pytest
+
+from raytracingproject_tpu.camera import Camera
+from raytracingproject_tpu.config import RenderSettings
+from raytracingproject_tpu.session import (
+    RendererSession,
+    SessionError,
+    Sphere,
+    SPHERE_CAPACITY,
+)
+
+
+def small_session():
+    s = RendererSession(
+        RenderSettings(width=32, height=24),
+        camera=Camera(
+            aspect_ratio=32 / 24,
+            image_width=32,
+            samples_per_pixel=2,
+            max_depth=3,
+            vfov=60.0,
+            lookfrom=(0.0, 0.0, 4.0),
+            lookat=(0.0, 0.0, 0.0),
+        ),
+    )
+    return s
+
+
+def test_smoke_loop():
+    """Full bring-up + interactive loop (vulkan_tests.cpp:15-31 analog)."""
+    s = small_session()
+    s.init()
+    s.load_preconfigured_shapes()  # two demo spheres, as the Vulkan test adds
+    s.add_spheres([Sphere(center=(0.0, -100.5, 0.0), radius=100.0, color=(0.5, 0.5, 0.5, 1.0))])
+    frames = s.start_interactive_loop(duration_ms=30000, max_frames=3)
+    assert frames == 3
+    assert s.last_frame is not None
+    assert s.last_frame.shape == (24, 32, 3)
+    assert np.isfinite(s.last_frame).all()
+
+
+def test_draw_before_init_raises():
+    s = small_session()
+    with pytest.raises(SessionError, match="init"):
+        s.draw_frame()
+
+
+def test_empty_scene_raises():
+    s = small_session()
+    s.init()
+    with pytest.raises(SessionError, match="spheres"):
+        s.draw_frame()
+
+
+def test_sphere_capacity_enforced():
+    """DataBuffer<Sphere,200> capacity analog
+    (src/vulkan/graphical_environment_vulkan.h:141)."""
+    s = small_session()
+    s.init()
+    s.add_spheres([Sphere(center=(0, 0, -2), radius=0.5)] * SPHERE_CAPACITY)
+    with pytest.raises(SessionError, match="overflow"):
+        s.add_spheres([Sphere(center=(0, 0, -2), radius=0.5)])
+
+
+def test_spheres_added_after_init_render():
+    """Unlike the reference (append after init never re-uploads and the
+    SSBO is never bound — src/vulkan/data_buffer.h:47-52), late-added
+    spheres must actually render."""
+    s = small_session()
+    s.init()
+    s.add_spheres([Sphere(center=(0.0, 0.0, 0.0), radius=1.5, color=(1.0, 0.1, 0.1, 1.0))])
+    s.draw_frame()
+    a = s.flush()
+    # a big red sphere fills the view center; red channel dominates there
+    h, w, _ = a.shape
+    center = a[h // 2, w // 2]
+    assert center[0] > center[2], center
+
+
+def test_missing_texture_raises():
+    s = small_session()
+    with pytest.raises(SessionError, match="texture"):
+        s.add_texture("/nonexistent/statue.jpg")
+
+
+def test_texture_ppm_load(tmp_path):
+    from raytracingproject_tpu.utils.ppm import write_ppm
+
+    img = np.random.default_rng(0).integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    p = tmp_path / "t.ppm"
+    write_ppm(img, p)
+    s = small_session()
+    s.add_texture(str(p))
+    np.testing.assert_array_equal(s._texture, img)
+
+
+def test_settings_defaults_match_reference():
+    """GraphicalEnvironmentSettings defaults (src/common_objects.h:9-15)."""
+    st = RenderSettings()
+    assert st.max_frames_in_flight == 2
+    assert st.max_images == 2
+    assert st.width == 1024
+    assert st.height == 768
+    assert st.sphere_count == 20
+
+
+def test_device_info_dump():
+    s = small_session()
+    s.init()
+    info = s.dump_device_info()
+    assert "cpu" in info  # test mesh
