@@ -49,6 +49,8 @@ def main(argv=None) -> int:
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--use-bvh", action="store_true")
+    ap.add_argument("--wavefront", action="store_true",
+                    help="stream-compaction renderer instead of the megakernel")
     ap.add_argument("--output", "-o", default="-", help="output path ('-' = stdout)")
     args = ap.parse_args(argv)
 
@@ -81,6 +83,29 @@ def main(argv=None) -> int:
     spp_chunk = max(1, min(args.spp, settings.rays_per_batch // max(pixels, 1)))
 
     t0 = time.time()
+    if args.wavefront:
+        from raytracingproject_tpu.wavefront import render_wavefront
+
+        pool = max(4096, min(settings.rays_per_batch, 1 << (pixels * args.spp - 1).bit_length()))
+        acc = render_wavefront(
+            scene, cam, key,
+            width=width, height=height, spp=args.spp, max_depth=args.depth,
+            pool_size=pool,
+        )
+        img = to_u8(acc / args.spp)
+        data = encode_ppm(np.asarray(img))
+        elapsed = time.time() - t0
+        print("\rDone.                 ", file=sys.stderr)
+        rays = pixels * args.spp
+        print(f"{rays} rays in {elapsed:.2f}s = {rays/elapsed/1e6:.2f} Mrays/s",
+              file=sys.stderr)
+        if args.output == "-":
+            sys.stdout.write(data)
+        else:
+            with open(args.output, "w") as f:
+                f.write(data)
+        return 0
+
     acc = None
     done = 0
     while done < args.spp:

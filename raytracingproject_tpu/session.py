@@ -92,6 +92,32 @@ class RendererSession:
 
     # -- lifecycle ---------------------------------------------------------
 
+    def enable_validation(self) -> None:
+        """Validation-layer analog (reference enables Khronos validation +
+        debug messenger, graphical_environment_vulkan.cpp:17,
+        validation.h:29-49): turns on jax NaN/inf checking so any
+        non-finite value raises at the op that produced it."""
+        jax.config.update("jax_debug_nans", True)
+        log.info("validation enabled: jax_debug_nans")
+
+    def resize(self, width: int, height: int) -> None:
+        """Swapchain-recreation analog (VK_ERROR_OUT_OF_DATE_KHR path,
+        graphical_environment_vulkan.cpp:404-414): rebuild the camera for
+        the new extent; the next draw_frame re-jits for the new shapes and
+        rendering continues."""
+        if width <= 0 or height <= 0:
+            _log_and_throw(f"invalid extent {width}x{height}")
+        self.settings = dataclasses.replace(self.settings, width=width, height=height)
+        self.camera = dataclasses.replace(
+            self.camera,
+            aspect_ratio=width / height,
+            image_width=width,
+        )
+        # drop in-flight frames rendered at the old extent (the reference
+        # recreates swapchain images the same way)
+        self._inflight.clear()
+        log.info("resized to %dx%d; pipelines will re-jit on next frame", width, height)
+
     def init(self) -> None:
         """Device discovery + warmup — replaces instance/surface/device/
         swapchain/pipeline bring-up (src/vulkan/graphical_environment_vulkan.cpp:21-106)."""

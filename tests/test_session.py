@@ -115,3 +115,38 @@ def test_device_info_dump():
     s.init()
     info = s.dump_device_info()
     assert "cpu" in info  # test mesh
+
+
+def test_resize_recreates_and_renders():
+    """Swapchain-recreation analog: resize mid-session, next frame renders
+    at the new extent (graphical_environment_vulkan.cpp:404-414)."""
+    s = small_session()
+    s.init()
+    s.load_preconfigured_shapes()
+    s.draw_frame()
+    s.flush()
+    assert s.last_frame.shape == (24, 32, 3)
+    s.resize(48, 24)
+    s.draw_frame()
+    s.flush()
+    assert s.last_frame.shape == (24, 48, 3)
+
+
+def test_resize_invalid_extent_raises():
+    s = small_session()
+    with pytest.raises(SessionError, match="extent"):
+        s.resize(0, 10)
+
+
+def test_enable_validation_catches_nan(monkeypatch):
+    import jax
+
+    s = small_session()
+    s.enable_validation()
+    try:
+        import jax.numpy as jnp
+
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: x / 0.0 * 0.0)(jnp.float32(1.0)).block_until_ready()
+    finally:
+        jax.config.update("jax_debug_nans", False)
