@@ -124,6 +124,8 @@ def main(argv=None) -> int:
         )
         acc = out if acc is None else acc + out
         done += chunk
+        if (done // max(spp_chunk, 1)) % 4 == 0 and done < args.spp:
+            acc.block_until_ready()  # bound device queue depth
     img = to_u8(acc / args.spp)
     data = encode_ppm(np.asarray(img))
     elapsed = time.time() - t0

@@ -50,3 +50,8 @@ class RenderSettings:
     use_pallas: bool = False
     # Use BVH traversal instead of brute-force closest-hit scan.
     use_bvh: bool = False
+    # Host-sync the accumulator every N sample chunks. Bounds the device
+    # queue depth — long unsynced dispatch chains destabilize tunneled
+    # backends, and 2 in-flight chunks (the reference's
+    # max_frames_in_flight, src/common_objects.h:10) are enough overlap.
+    sync_every: int = 4

@@ -200,6 +200,7 @@ def render(
 
     acc = jnp.zeros((height, width, 3), settings.dtype)
     done = 0
+    chunks = 0
     while done < spp:
         chunk = min(spp_chunk, spp - done)
         k = jax.random.fold_in(key, done)
@@ -215,6 +216,9 @@ def render(
             early_exit=True,
         )
         done += chunk
+        chunks += 1
+        if settings.sync_every and chunks % settings.sync_every == 0 and done < spp:
+            acc.block_until_ready()
     return acc / spp
 
 
