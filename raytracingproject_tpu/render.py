@@ -45,11 +45,20 @@ class _PathState(NamedTuple):
 
 
 def _bounce(
-    scene: Scene, time: jnp.ndarray, state: _PathState, key: jax.Array, bvh=None
+    scene: Scene,
+    time: jnp.ndarray,
+    state: _PathState,
+    key: jax.Array,
+    bvh=None,
+    use_pallas: bool = False,
 ) -> _PathState:
-    """One bounce of every live ray: closest hit (brute-force scan or BVH
-    traversal), scatter or sky."""
-    if bvh is not None:
+    """One bounce of every live ray: closest hit (brute-force scan, BVH
+    traversal, or the fused Pallas kernel), scatter or sky."""
+    if use_pallas:
+        from raytracingproject_tpu.ops.pallas.trace import pallas_closest_hit
+
+        rec = pallas_closest_hit(state.origin, state.direction, time, scene, t_min=T_MIN)
+    elif bvh is not None:
         from raytracingproject_tpu.bvh import bvh_closest_hit
 
         rec = bvh_closest_hit(
@@ -94,6 +103,7 @@ def ray_color(
     max_depth: int,
     bvh=None,
     early_exit: bool = False,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Radiance for a batch of rays — iterative counterpart of the
     reference's depth-limited recursion (src/camera_cpu.h:8-26). Rays still
@@ -125,14 +135,14 @@ def ray_color(
         def body(carry):
             depth, state = carry
             k = jax.random.fold_in(key, depth)
-            return depth + 1, _bounce(scene, time, state, k, bvh)
+            return depth + 1, _bounce(scene, time, state, k, bvh, use_pallas)
 
         _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
         return state.radiance
 
     def step(state, depth):
         k = jax.random.fold_in(key, depth)
-        return _bounce(scene, time, state, k, bvh), None
+        return _bounce(scene, time, state, k, bvh, use_pallas), None
 
     state, _ = jax.lax.scan(step, state, jnp.arange(max_depth))
     return state.radiance
@@ -140,7 +150,7 @@ def ray_color(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "max_depth", "spp_chunk", "early_exit"),
+    static_argnames=("width", "height", "max_depth", "spp_chunk", "early_exit", "use_pallas"),
 )
 def render_pass(
     scene: Scene,
@@ -153,6 +163,7 @@ def render_pass(
     spp_chunk: int = 1,
     bvh=None,
     early_exit: bool = False,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """`spp_chunk` samples of every pixel; returns the radiance *sum*
     [H, W, 3] over the chunk (caller divides by total spp, as
@@ -166,7 +177,9 @@ def render_pass(
     j = jnp.tile(jj.reshape(-1), spp_chunk)
     k_ray, k_path = jax.random.split(key)
     origin, direction, time = generate_rays(cam, i, j, k_ray)
-    rad = ray_color(scene, origin, direction, time, k_path, max_depth, bvh, early_exit)
+    rad = ray_color(
+        scene, origin, direction, time, k_path, max_depth, bvh, early_exit, use_pallas
+    )
     return rad.reshape(spp_chunk, height, width, 3).sum(axis=0)
 
 
@@ -214,6 +227,7 @@ def render(
             spp_chunk=chunk,
             bvh=bvh,
             early_exit=True,
+            use_pallas=settings.use_pallas,
         )
         done += chunk
         chunks += 1
