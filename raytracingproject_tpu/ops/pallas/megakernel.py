@@ -1,0 +1,329 @@
+"""Full-path Pallas megakernel: the entire bounce loop in one TPU kernel.
+
+Per grid step a tile of rays lives in registers/VMEM from camera ray to
+final radiance — no HBM traffic between bounces (the megakernel design of
+SURVEY.md §7, tier (b)). Everything the XLA megakernel (render.py) does per
+bounce happens in-kernel:
+
+- closest hit: rolled `fori_loop` over spheres; the winning sphere's
+  *attributes* (center, radius, material, albedo, fuzz, ior) are selected
+  into registers during the loop, so no per-lane gather is ever needed
+  (TPU lanes cannot gather efficiently; selects are one VPU op each),
+- scatter: lambertian / metal / dielectric with Schlick, reproducing
+  src/material.h:16-81 exactly,
+- RNG: the per-core hardware PRNG (pltpu.prng_random_bits), seeded per
+  (grid step, ray tile); uniform floats via the 24-bit mantissa trick;
+  unit vectors via Box-Muller + normalize (same distributions as
+  ops/sampling.py),
+- sky accumulation and depth-limited termination with an early-exit: each
+  bounce body is predicated on "any ray in the tile still alive", so a
+  tile whose rays all terminated skips the remaining depth iterations.
+
+Forward-only; validated statistically against the XLA megakernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracingproject_tpu.config import T_MIN, T_MAX, LAMBERTIAN, METAL, DIELECTRIC
+from raytracingproject_tpu.scene import Scene
+
+SUB, LANES = 8, 128
+TILE = SUB * LANES  # 1024 rays per grid step
+
+# sphere table rows (SMEM): cx cy cz mx my mz rad mat alb_r alb_g alb_b fuzz ior
+ROW_CX, ROW_CY, ROW_CZ = 0, 1, 2
+ROW_MX, ROW_MY, ROW_MZ = 3, 4, 5
+ROW_RAD, ROW_MAT = 6, 7
+ROW_AR, ROW_AG, ROW_AB = 8, 9, 10
+ROW_FUZZ, ROW_IOR = 11, 12
+N_ROWS = 16  # padded to sublane multiple
+
+
+def _uniform(shape):
+    """U[0,1) from hardware PRNG bits (24-bit mantissa). The bitcast to
+    uint32 matters: a signed >> would sign-extend half the draws."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # Mosaic has no uint32->f32 cast; after >>8 the top byte is zero, so a
+    # bitcast to int32 is value-preserving and int32->f32 is supported.
+    return pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _normal_pair(shape):
+    """Two independent N(0,1) draws via Box-Muller."""
+    u1 = jnp.maximum(_uniform(shape), 1e-12)
+    u2 = _uniform(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    th = (2.0 * jnp.pi) * u2
+    return r * jnp.cos(th), r * jnp.sin(th)
+
+
+def _unit_vector(shape):
+    """Uniform directions on S^2 (normalized isotropic Gaussian —
+    distributionally equal to src/vec3.h:137-139)."""
+    gx, gy = _normal_pair(shape)
+    gz, _ = _normal_pair(shape)
+    inv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
+    return gx * inv, gy * inv, gz * inv
+
+
+def _in_unit_sphere(shape):
+    """Uniform points in the unit ball (src/vec3.h:129-135 distribution).
+    cbrt has no Mosaic lowering; u^(1/3) = exp(log(u)/3)."""
+    ux, uy, uz = _unit_vector(shape)
+    u = jnp.maximum(_uniform(shape), 1e-30)
+    r = jnp.exp(jnp.log(u) * (1.0 / 3.0))
+    return ux * r, uy * r, uz * r
+
+
+def _megakernel(
+    seed_ref,  # SMEM (1, 1) int32
+    sph_ref,   # SMEM (N_ROWS, N)
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,  # VMEM (8, 128)
+    rr_ref, rg_ref, rb_ref,  # outputs (8, 128)
+    *, n_spheres: int, max_depth: int, t_min: float,
+):
+    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tm = tm_ref[:]
+
+    shape = (SUB, LANES)
+    thr_r = jnp.ones(shape, jnp.float32)
+    thr_g = jnp.ones(shape, jnp.float32)
+    thr_b = jnp.ones(shape, jnp.float32)
+    rad_r = jnp.zeros(shape, jnp.float32)
+    rad_g = jnp.zeros(shape, jnp.float32)
+    rad_b = jnp.zeros(shape, jnp.float32)
+    # alive carried as a 0/1 float mask: bool vectors can't round-trip a
+    # Mosaic cond carry (i8->i1 truncation is unsupported).
+    alive = jnp.ones(shape, jnp.float32)
+
+    def bounce(carry):
+        ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive = carry
+
+        a = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20)
+        inv_a = 1.0 / a
+
+        # ---- closest hit over all spheres, tracking winner attributes ----
+        def sph_body(s, hc):
+            (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio) = hc
+            cx = sph_ref[ROW_CX, s]; cy = sph_ref[ROW_CY, s]; cz = sph_ref[ROW_CZ, s]
+            mx = sph_ref[ROW_MX, s]; my = sph_ref[ROW_MY, s]; mz = sph_ref[ROW_MZ, s]
+            rad = sph_ref[ROW_RAD, s]
+
+            ccx = cx + tm * mx   # src/sphere.h:68-72 motion lerp
+            ccy = cy + tm * my
+            ccz = cz + tm * mz
+            ocx = ox - ccx; ocy = oy - ccy; ocz = oz - ccz
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            cq = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+            disc = half_b * half_b - a * cq
+            dpos = disc > 0.0
+            sq = jnp.sqrt(jnp.where(dpos, disc, 1.0))
+            r0 = (-half_b - sq) * inv_a
+            r1 = (-half_b + sq) * inv_a
+            in0 = (r0 > t_min) & (r0 < bt)
+            in1 = (r1 > t_min) & (r1 < bt)
+            root = jnp.where(in0, r0, r1)
+            better = dpos & (in0 | in1)
+
+            bt = jnp.where(better, root, bt)
+            hx = jnp.where(better, ccx, hx)
+            hy = jnp.where(better, ccy, hy)
+            hz = jnp.where(better, ccz, hz)
+            hrad = jnp.where(better, rad, hrad)
+            hmat = jnp.where(better, sph_ref[ROW_MAT, s], hmat)
+            har = jnp.where(better, sph_ref[ROW_AR, s], har)
+            hag = jnp.where(better, sph_ref[ROW_AG, s], hag)
+            hab = jnp.where(better, sph_ref[ROW_AB, s], hab)
+            hfz = jnp.where(better, sph_ref[ROW_FUZZ, s], hfz)
+            hio = jnp.where(better, sph_ref[ROW_IOR, s], hio)
+            return (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio)
+
+        zeros = jnp.zeros(shape, jnp.float32)
+        init = (jnp.full(shape, T_MAX, jnp.float32), zeros, zeros, zeros,
+                jnp.ones(shape, jnp.float32), zeros, zeros, zeros, zeros,
+                zeros, jnp.ones(shape, jnp.float32))
+        (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio) = (
+            jax.lax.fori_loop(0, n_spheres, sph_body, init)
+        )
+
+        hit = bt < T_MAX
+        t_safe = jnp.where(hit, bt, 1.0)
+        px = ox + t_safe * dx
+        py = oy + t_safe * dy
+        pz = oz + t_safe * dz
+        inv_r = 1.0 / jnp.where(hrad != 0.0, hrad, 1.0)
+        nx = (px - hx) * inv_r   # outward normal (src/sphere.h:52)
+        ny = (py - hy) * inv_r
+        nz = (pz - hz) * inv_r
+        d_dot_n = dx * nx + dy * ny + dz * nz
+        front = d_dot_n < 0.0    # src/hittable.h:15-21
+        sgn = jnp.where(front, 1.0, -1.0)
+        nx = nx * sgn; ny = ny * sgn; nz = nz * sgn
+
+        # ---- sky on miss (src/camera_cpu.h:23-25) ----
+        inv_len = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20))
+        sky_a = 0.5 * (dy * inv_len + 1.0)
+        alive_b = alive > 0.5
+        m = jnp.where(alive_b & ~hit, 1.0, 0.0)
+        rad_r = rad_r + m * thr_r * (1.0 - sky_a + sky_a * 0.5)
+        rad_g = rad_g + m * thr_g * (1.0 - sky_a + sky_a * 0.7)
+        rad_b = rad_b + m * thr_b * (1.0 - sky_a + sky_a * 1.0)
+
+        # ---- scatter (src/material.h) ----
+        inv_dlen = inv_len
+        udx = dx * inv_dlen; udy = dy * inv_dlen; udz = dz * inv_dlen
+
+        # lambertian: normal + unit vector
+        uvx, uvy, uvz = _unit_vector(shape)
+        lam_x = nx + uvx; lam_y = ny + uvy; lam_z = nz + uvz
+
+        # metal: reflect(unit_dir) + fuzz * in_unit_sphere
+        u_dot_n = udx * nx + udy * ny + udz * nz
+        rfl_x = udx - 2.0 * u_dot_n * nx
+        rfl_y = udy - 2.0 * u_dot_n * ny
+        rfl_z = udz - 2.0 * u_dot_n * nz
+        fx, fy, fz = _in_unit_sphere(shape)
+        met_x = rfl_x + hfz * fx; met_y = rfl_y + hfz * fy; met_z = rfl_z + hfz * fz
+        met_ok = (met_x * nx + met_y * ny + met_z * nz) > 0.0
+
+        # dielectric: refract-or-reflect with Schlick (src/material.h:55-71)
+        ratio = jnp.where(front, 1.0 / hio, hio)
+        cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+        s2 = 1.0 - cos_t * cos_t
+        sin_t = jnp.sqrt(jnp.maximum(s2, 0.0))
+        cannot = ratio * sin_t > 1.0
+        r0s = (1.0 - ratio) / (1.0 + ratio)
+        r0s = r0s * r0s
+        one_m = 1.0 - cos_t
+        schlick = r0s + (1.0 - r0s) * one_m * one_m * one_m * one_m * one_m
+        do_refl = cannot | (schlick > _uniform(shape))
+        # refract (src/vec3.h:153-158)
+        perp_x = ratio * (udx + cos_t * nx)
+        perp_y = ratio * (udy + cos_t * ny)
+        perp_z = ratio * (udz + cos_t * nz)
+        k = jnp.abs(1.0 - (perp_x * perp_x + perp_y * perp_y + perp_z * perp_z))
+        spar = -jnp.sqrt(k)
+        refr_x = perp_x + spar * nx
+        refr_y = perp_y + spar * ny
+        refr_z = perp_z + spar * nz
+        die_x = jnp.where(do_refl, rfl_x, refr_x)
+        die_y = jnp.where(do_refl, rfl_y, refr_y)
+        die_z = jnp.where(do_refl, rfl_z, refr_z)
+
+        is_lam = hmat == float(LAMBERTIAN)
+        is_met = hmat == float(METAL)
+        is_die = hmat == float(DIELECTRIC)
+        sx = jnp.where(is_lam, lam_x, jnp.where(is_met, met_x, die_x))
+        sy = jnp.where(is_lam, lam_y, jnp.where(is_met, met_y, die_y))
+        sz = jnp.where(is_lam, lam_z, jnp.where(is_met, met_z, die_z))
+        att_r = jnp.where(is_die, 1.0, har)
+        att_g = jnp.where(is_die, 1.0, hag)
+        att_b = jnp.where(is_die, 1.0, hab)
+        # logical form, not jnp.where-on-bools (Mosaic i8->i1 truncation)
+        scattered = (~is_met) | met_ok
+
+        hit_live = alive_b & hit
+        thr_r = thr_r * jnp.where(hit_live, att_r, 1.0)
+        thr_g = thr_g * jnp.where(hit_live, att_g, 1.0)
+        thr_b = thr_b * jnp.where(hit_live, att_b, 1.0)
+        ox = jnp.where(hit_live, px, ox)
+        oy = jnp.where(hit_live, py, oy)
+        oz = jnp.where(hit_live, pz, oz)
+        dx = jnp.where(hit_live, sx, dx)
+        dy = jnp.where(hit_live, sy, dy)
+        dz = jnp.where(hit_live, sz, dz)
+        alive = jnp.where(hit_live & scattered, 1.0, 0.0)
+        return (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+                rad_r, rad_g, rad_b, alive)
+
+    carry = (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+             rad_r, rad_g, rad_b, alive)
+    # Rolled depth loop (keeps kernel code size O(1) in max_depth — an
+    # unrolled python loop at depth 16+ blows Mosaic compile time); each
+    # iteration early-exits via a scalar branch once the tile is dead.
+    def depth_body(_, c):
+        return jax.lax.cond(jnp.max(c[-1]) > 0.5, bounce, lambda x: x, c)
+
+    carry = jax.lax.fori_loop(0, max_depth, depth_body, carry)
+
+    rr_ref[:] = carry[9]
+    rg_ref[:] = carry[10]
+    rb_ref[:] = carry[11]
+
+
+def _pad_flat(x, total):
+    pad = total - x.shape[0]
+    if pad == 0:
+        return x.astype(jnp.float32)
+    return jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad,))]).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_depth", "t_min", "interpret")
+)
+def pallas_trace_paths(
+    origin: jnp.ndarray,     # [R, 3]
+    direction: jnp.ndarray,  # [R, 3]
+    time: jnp.ndarray,       # [R]
+    scene: Scene,
+    seed: jnp.ndarray,       # scalar int32
+    max_depth: int,
+    t_min: float = T_MIN,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Radiance [R, 3] for camera rays — full path trace in one kernel."""
+    R = origin.shape[0]
+    n = scene.radius.shape[0]
+    r_pad = ((R + TILE - 1) // TILE) * TILE
+    tiles = r_pad // TILE
+
+    comps = [
+        _pad_flat(origin[:, 0], r_pad), _pad_flat(origin[:, 1], r_pad),
+        _pad_flat(origin[:, 2], r_pad), _pad_flat(direction[:, 0], r_pad),
+        _pad_flat(direction[:, 1], r_pad), _pad_flat(direction[:, 2], r_pad),
+        _pad_flat(time, r_pad),
+    ]
+    comps = [c.reshape(tiles * SUB, LANES) for c in comps]
+
+    rows = [
+        scene.center0[:, 0], scene.center0[:, 1], scene.center0[:, 2],
+        scene.center_delta[:, 0], scene.center_delta[:, 1], scene.center_delta[:, 2],
+        scene.radius, scene.mat_type.astype(jnp.float32),
+        scene.albedo[:, 0], scene.albedo[:, 1], scene.albedo[:, 2],
+        scene.fuzz, scene.ior,
+    ]
+    sph = jnp.stack(rows + [jnp.zeros_like(scene.radius)] * (N_ROWS - len(rows)))
+    sph = sph.astype(jnp.float32)
+
+    kernel = functools.partial(
+        _megakernel, n_spheres=n, max_depth=max_depth, t_min=t_min
+    )
+    ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    rr, rg, rb = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((N_ROWS, n), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        + [ray_spec] * 7,
+        out_specs=[ray_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((tiles * SUB, LANES), jnp.float32)] * 3,
+        # TPU interpret params (not plain interpret=True): the hardware PRNG
+        # primitives only have lowering rules in the TPU interpreter.
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(jnp.asarray(seed, jnp.int32).reshape(1, 1), sph, *comps)
+
+    rad = jnp.stack([rr.reshape(-1)[:R], rg.reshape(-1)[:R], rb.reshape(-1)[:R]], axis=-1)
+    return rad

@@ -1,0 +1,79 @@
+"""Full-path Pallas megakernel vs the XLA megakernel — statistical parity
+(different RNG streams, same distributions), interpret mode on CPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytracingproject_tpu.camera import Camera, generate_rays
+from raytracingproject_tpu.ops.pallas.megakernel import pallas_trace_paths
+from raytracingproject_tpu.render import ray_color
+from raytracingproject_tpu.scene import make_minimal_scene, make_three_sphere_scene
+
+
+def gen(cam, n_rays, key):
+    d = cam.derive()
+    w, h = cam.image_size()
+    idx = jax.random.randint(key, (n_rays,), 0, w * h)
+    i = (idx % w).astype(jnp.int32)
+    j = (idx // w).astype(jnp.int32)
+    return generate_rays(d, i, j, jax.random.fold_in(key, 1))
+
+
+def test_megakernel_depth1_exact():
+    """Depth-1 paths are RNG-free (primary hit -> throughput stops, or sky):
+    the Pallas and XLA megakernels must agree to float tolerance per-ray.
+
+    NOTE: the TPU interpreter returns zeros from prng_random_bits, so
+    RNG-dependent bounces cannot be validated here; the statistical parity
+    of deeper paths runs on real TPU (verify drives / bench)."""
+    scene = make_three_sphere_scene()
+    cam = Camera(
+        aspect_ratio=16.0 / 9.0,
+        image_width=64,
+        samples_per_pixel=1,
+        max_depth=8,
+        vfov=90.0,
+        lookfrom=(0.0, 0.0, 0.0),
+        lookat=(0.0, 0.0, -1.0),
+        defocus_angle=0.0,
+        focus_dist=1.0,
+    )
+    R = 4096
+    o, d, t = gen(cam, R, jax.random.PRNGKey(0))
+
+    pk = np.asarray(
+        pallas_trace_paths(o, d, t, scene, jnp.int32(7), max_depth=1, interpret=True)
+    )
+    xk = np.asarray(ray_color(scene, o, d, t, jax.random.PRNGKey(3), max_depth=1))
+    assert np.isfinite(pk).all()
+    np.testing.assert_allclose(pk, xk, atol=5e-5)
+
+
+def test_megakernel_sky_exact():
+    """Rays that miss everything: the sky gradient is deterministic and must
+    match the XLA path exactly (no RNG involvement)."""
+    scene = make_minimal_scene()
+    scene = scene._replace(center0=scene.center0 + 1e6)  # park spheres away
+    R = 2048
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.uniform(-1, 1, (R, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    t = jnp.asarray(rng.random(R).astype(np.float32))
+    pk = np.asarray(
+        pallas_trace_paths(o, d, t, scene, jnp.int32(1), max_depth=4, interpret=True)
+    )
+    xk = np.asarray(ray_color(scene, o, d, t, jax.random.PRNGKey(1), max_depth=4))
+    np.testing.assert_allclose(pk, xk, atol=2e-5)
+
+
+def test_megakernel_deterministic_given_seed():
+    scene = make_three_sphere_scene()
+    R = 1024
+    rng = np.random.default_rng(2)
+    o = jnp.asarray(rng.uniform(-2, 2, (R, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    t = jnp.asarray(rng.random(R).astype(np.float32))
+    a = np.asarray(pallas_trace_paths(o, d, t, scene, jnp.int32(5), max_depth=6, interpret=True))
+    b = np.asarray(pallas_trace_paths(o, d, t, scene, jnp.int32(5), max_depth=6, interpret=True))
+    np.testing.assert_array_equal(a, b)
