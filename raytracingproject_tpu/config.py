@@ -48,6 +48,9 @@ class RenderSettings:
     rays_per_batch: int = 1 << 17
     # Use the Pallas trace kernel for closest-hit when available.
     use_pallas: bool = False
+    # Run the whole bounce loop in one Pallas TPU kernel (fastest forward
+    # path; forward-only — gradients use the XLA megakernel).
+    use_megakernel: bool = False
     # Use BVH traversal instead of brute-force closest-hit scan.
     use_bvh: bool = False
     # Host-sync the accumulator every N sample chunks. Bounds the device

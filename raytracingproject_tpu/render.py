@@ -150,7 +150,10 @@ def ray_color(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "max_depth", "spp_chunk", "early_exit", "use_pallas"),
+    static_argnames=(
+        "width", "height", "max_depth", "spp_chunk", "early_exit", "use_pallas",
+        "use_megakernel",
+    ),
 )
 def render_pass(
     scene: Scene,
@@ -164,10 +167,17 @@ def render_pass(
     bvh=None,
     early_exit: bool = False,
     use_pallas: bool = False,
+    use_megakernel: bool = False,
 ) -> jnp.ndarray:
     """`spp_chunk` samples of every pixel; returns the radiance *sum*
     [H, W, 3] over the chunk (caller divides by total spp, as
-    src/color.h:20-22)."""
+    src/color.h:20-22).
+
+    `use_megakernel=True` runs the full bounce loop inside one Pallas TPU
+    kernel (ops/pallas/megakernel.py) — the fastest forward path: rays stay
+    in VMEM/registers from camera ray to radiance, the scene table lives in
+    SMEM, and RNG is the per-core hardware PRNG. Forward-only.
+    """
     jj, ii = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.int32),
         jnp.arange(width, dtype=jnp.int32),
@@ -177,9 +187,16 @@ def render_pass(
     j = jnp.tile(jj.reshape(-1), spp_chunk)
     k_ray, k_path = jax.random.split(key)
     origin, direction, time = generate_rays(cam, i, j, k_ray)
-    rad = ray_color(
-        scene, origin, direction, time, k_path, max_depth, bvh, early_exit, use_pallas
-    )
+    if use_megakernel:
+        from raytracingproject_tpu.ops.pallas.megakernel import pallas_trace_paths
+
+        seed = jax.random.randint(k_path, (), 0, 2**31 - 1, dtype=jnp.int32)
+        rad = pallas_trace_paths(origin, direction, time, scene, seed, max_depth)
+    else:
+        rad = ray_color(
+            scene, origin, direction, time, k_path, max_depth, bvh, early_exit,
+            use_pallas,
+        )
     return rad.reshape(spp_chunk, height, width, 3).sum(axis=0)
 
 
@@ -228,6 +245,7 @@ def render(
             bvh=bvh,
             early_exit=True,
             use_pallas=settings.use_pallas,
+            use_megakernel=settings.use_megakernel,
         )
         done += chunk
         chunks += 1
