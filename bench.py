@@ -1,20 +1,23 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-Metric: forward rays/sec on the cover scene (BASELINE config 3 geometry at
-400x225) on the current default backend. "Rays" = camera samples
-(pixels x spp); each ray additionally traverses up to max_depth bounces of
-~490-sphere intersection, so this is directly comparable across rounds at
-fixed scene/depth. vs_baseline compares against the previous round's record
-(BENCH_r*.json) when present, else 1.0.
+Metric: forward rays/sec on the cover scene (~488 spheres, BASELINE config 3
+geometry at 400x225, depth 16). "Rays" = camera samples (pixels x spp); each
+ray additionally traverses up to max_depth bounces, so the number is
+comparable across rounds at fixed scene/depth.
+
+Timing is DEVICE-TRUE (tools/measure.py): a jitted scan of K passes reduced
+to one scalar that is fetched to the host, timed at two K values, reporting
+the marginal cost per pass over fresh salted keys. Round 1's per-pass
+`block_until_ready` timing measured dispatch latency on this tunneled
+backend, not compute (recorded 1.44e9 rays/s, ~450x the honest number) — do
+not regress to it. The metric name is versioned (`_v2`) so `vs_baseline`
+only ever compares like-for-like records.
 """
 
 from __future__ import annotations
 
 import glob
 import json
-import os
-import re
-import time
 
 import jax
 
@@ -27,13 +30,17 @@ enable_compilation_cache()
 from raytracingproject_tpu.camera import Camera
 from raytracingproject_tpu.render import render_pass
 from raytracingproject_tpu.scene import make_cover_scene
+from tools.measure import marginal_seconds_per_pass
 
 WIDTH, HEIGHT = 400, 225
 MAX_DEPTH = 16
 SPP_CHUNK = 4
-TIMED_PASSES = 10
-REPS = 3  # report the best rep: the tunneled TPU shares the chip, so
-          # per-rep throughput is congestion-noisy; max is the stable stat.
+
+METRIC = "fwd_rays_per_sec_cover400_d16_v2"
+# Plausibility ceiling (advisor round 1): rays/s above this bound exceed the
+# VPU roofline for >=1 bounce of ~490 sphere tests and must be a timing
+# artifact, not a measurement.
+ROOFLINE_MAX = 1.0e9
 
 
 def main() -> None:
@@ -55,6 +62,7 @@ def main() -> None:
     # (whole bounce loop in one kernel, scene in SMEM, hardware PRNG); fall
     # back to the XLA megakernel off-TPU (CPU smoke runs).
     on_tpu = jax.devices()[0].platform == "tpu"
+    path = "pallas_megakernel" if on_tpu else "xla_early_exit"
 
     def one_pass(key):
         return render_pass(
@@ -69,38 +77,39 @@ def main() -> None:
             use_megakernel=on_tpu,
         )
 
-    # warmup / compile
-    one_pass(jax.random.PRNGKey(0)).block_until_ready()
-
-    # Strictly synchronous per-pass timing (block_until_ready inside the
-    # timed region): long async dispatch chains under-measure through the
-    # tunneled backend. Best pass = least-congested sample of the shared
-    # chip; per-pass spread is ~1% when the chip is quiet.
+    sec_per_pass, checksum = marginal_seconds_per_pass(
+        one_pass, k1=4, k2=12, reps=3
+    )
     rays = WIDTH * HEIGHT * SPP_CHUNK
-    best_dt = float("inf")
-    for i in range(TIMED_PASSES * REPS):
-        t0 = time.perf_counter()
-        one_pass(jax.random.PRNGKey(i + 1)).block_until_ready()
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    rays_per_sec = rays / best_dt
+    rays_per_sec = rays / sec_per_pass
+    assert checksum == checksum and abs(checksum) < 1e30, f"bad checksum {checksum}"
+    if rays_per_sec > ROOFLINE_MAX:
+        raise RuntimeError(
+            f"measured {rays_per_sec:.3g} rays/s exceeds the roofline bound "
+            f"{ROOFLINE_MAX:.1g}; timing is broken, refusing to record it"
+        )
 
+    # Compare only against prior records of the SAME versioned metric.
     prev = None
-    records = sorted(glob.glob("/root/repo/BENCH_r*.json"))
-    if records:
+    for rec_path in sorted(glob.glob("/root/repo/BENCH_r*.json")):
         try:
-            with open(records[-1]) as f:
-                prev = json.load(f).get("value")
+            with open(rec_path) as f:
+                rec = json.load(f).get("parsed", {})
+            if rec.get("metric") == METRIC:
+                prev = rec.get("value")
         except Exception:
-            prev = None
+            continue
     vs_baseline = (rays_per_sec / prev) if prev else 1.0
 
     print(
         json.dumps(
             {
-                "metric": "forward_rays_per_sec_cover_scene_400x225_depth16",
+                "metric": METRIC,
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(vs_baseline, 3),
+                "path": path,
+                "methodology": "scan-marginal host-fetch (tools/measure.py)",
             }
         )
     )
