@@ -49,10 +49,19 @@ class RenderSettings:
     # Use the Pallas trace kernel for closest-hit when available.
     use_pallas: bool = False
     # Run the whole bounce loop in one Pallas TPU kernel (fastest forward
-    # path; forward-only — gradients use the XLA megakernel).
+    # path; forward-only — gradients use the XLA megakernel). TPU-backend
+    # only (render raises off-TPU) and always computes/returns float32
+    # regardless of `dtype`.
     use_megakernel: bool = False
-    # Use BVH traversal instead of brute-force closest-hit scan.
+    # Use BVH traversal instead of brute-force closest-hit scan. Combined
+    # with use_megakernel this selects the tile-uniform in-kernel traversal
+    # (the fast path on TPU); alone it selects the XLA per-ray traversal
+    # (correctness alternative; slower than brute force on TPU lanes).
     use_bvh: bool = False
+    # Max primitives per BVH leaf. 4 suits the XLA per-ray traversal (its
+    # leaf cost is a [R, L] gather); the megakernel amortizes node overhead
+    # over a 1024-ray tile and prefers larger leaves (8).
+    bvh_leaf_size: int = 4
     # Host-sync the accumulator every N sample chunks. Bounds the device
     # queue depth — long unsynced dispatch chains destabilize tunneled
     # backends, and 2 in-flight chunks (the reference's

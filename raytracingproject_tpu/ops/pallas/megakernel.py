@@ -5,10 +5,17 @@ final radiance — no HBM traffic between bounces (the megakernel design of
 SURVEY.md §7, tier (b)). Everything the XLA megakernel (render.py) does per
 bounce happens in-kernel:
 
-- closest hit: rolled `fori_loop` over spheres; the winning sphere's
-  *attributes* (center, radius, material, albedo, fuzz, ior) are selected
-  into registers during the loop, so no per-lane gather is ever needed
-  (TPU lanes cannot gather efficiently; selects are one VPU op each),
+- closest hit: either a rolled `fori_loop` over all spheres (brute) or a
+  **tile-uniform BVH traversal** (pass `bvh=`): one scalar node pointer per
+  1024-ray tile walks the DFS-pre-order flat BVH (miss links — the ordered
+  traversal the reference stubbed at src/bvh.h:16-24); each node does a
+  vectorized per-lane slab test, a cross-lane `any` decides descend vs skip,
+  and leaves test their <=leaf_size spheres with the exact quadratic. No
+  per-lane gathers anywhere: winner *attributes* (center, radius, material,
+  albedo, fuzz, ior) are selected into registers during the loop — TPU lanes
+  cannot gather efficiently; selects are one VPU op each. Sub-linear in
+  scene size whenever the tile's rays are coherent (primary rays and
+  low-bounce scatter are); worst case degenerates to ~brute + node overhead.
 - scatter: lambertian / metal / dielectric with Schlick, reproducing
   src/material.h:16-81 exactly,
 - RNG: the per-core hardware PRNG (pltpu.prng_random_bits), seeded per
@@ -44,6 +51,11 @@ ROW_RAD, ROW_MAT = 6, 7
 ROW_AR, ROW_AG, ROW_AB = 8, 9, 10
 ROW_FUZZ, ROW_IOR = 11, 12
 N_ROWS = 16  # padded to sublane multiple
+
+# BVH node tables (SMEM): float rows = box min/max, int rows = links.
+NF_MNX, NF_MNY, NF_MNZ, NF_MXX, NF_MXY, NF_MXZ = 0, 1, 2, 3, 4, 5
+NI_MISS, NI_START, NI_COUNT = 0, 1, 2
+SENTINEL_I32 = -1  # bvh.SENTINEL: traversal done
 
 
 def _uniform(shape):
@@ -82,14 +94,178 @@ def _in_unit_sphere(shape):
     return ux * r, uy * r, uz * r
 
 
-def _megakernel(
-    seed_ref,  # SMEM (1, 1) int32
-    sph_ref,   # SMEM (N_ROWS, N)
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,  # VMEM (8, 128)
-    rr_ref, rg_ref, rb_ref,  # outputs (8, 128)
-    *, n_spheres: int, max_depth: int, t_min: float,
-):
-    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+def _sphere_test(sph_ref, s, rays, hc, t_min):
+    """Test sphere `s` (scalar SMEM index) against the ray tile; update the
+    (best_t, winner attributes) carry `hc`. Exact reference quadratic
+    (src/sphere.h:30-57) with the open t-interval, moving-sphere center lerp
+    (src/sphere.h:68-72)."""
+    ox, oy, oz, dx, dy, dz, tm, a, inv_a = rays
+    (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio, bs) = hc
+    cx = sph_ref[ROW_CX, s]; cy = sph_ref[ROW_CY, s]; cz = sph_ref[ROW_CZ, s]
+    mx = sph_ref[ROW_MX, s]; my = sph_ref[ROW_MY, s]; mz = sph_ref[ROW_MZ, s]
+    rad = sph_ref[ROW_RAD, s]
+
+    ccx = cx + tm * mx   # src/sphere.h:68-72 motion lerp
+    ccy = cy + tm * my
+    ccz = cz + tm * mz
+    ocx = ox - ccx; ocy = oy - ccy; ocz = oz - ccz
+    half_b = ocx * dx + ocy * dy + ocz * dz
+    cq = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+    disc = half_b * half_b - a * cq
+    dpos = disc > 0.0
+    sq = jnp.sqrt(jnp.where(dpos, disc, 1.0))
+    r0 = (-half_b - sq) * inv_a
+    r1 = (-half_b + sq) * inv_a
+    in0 = (r0 > t_min) & (r0 < bt)
+    in1 = (r1 > t_min) & (r1 < bt)
+    root = jnp.where(in0, r0, r1)
+    better = dpos & (in0 | in1)
+
+    bt = jnp.where(better, root, bt)
+    hx = jnp.where(better, ccx, hx)
+    hy = jnp.where(better, ccy, hy)
+    hz = jnp.where(better, ccz, hz)
+    hrad = jnp.where(better, rad, hrad)
+    hmat = jnp.where(better, sph_ref[ROW_MAT, s], hmat)
+    har = jnp.where(better, sph_ref[ROW_AR, s], har)
+    hag = jnp.where(better, sph_ref[ROW_AG, s], hag)
+    hab = jnp.where(better, sph_ref[ROW_AB, s], hab)
+    hfz = jnp.where(better, sph_ref[ROW_FUZZ, s], hfz)
+    hio = jnp.where(better, sph_ref[ROW_IOR, s], hio)
+    # winner index as f32 (scalar broadcast; exact below 2^24 spheres) —
+    # recorded by the path-replay backward (grad/replay.py)
+    bs = jnp.where(better, jnp.float32(0) + s, bs)
+    return (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio, bs)
+
+
+def _hit_init(shape):
+    zeros = jnp.zeros(shape, jnp.float32)
+    return (jnp.full(shape, T_MAX, jnp.float32), zeros, zeros, zeros,
+            jnp.ones(shape, jnp.float32), zeros, zeros, zeros, zeros,
+            zeros, jnp.ones(shape, jnp.float32), zeros)
+
+
+UNROLL = 4
+
+
+def _closest_hit_brute(sph_ref, rays, t_min, n_spheres, shape):
+    """Linear scan (src/hittable_list.h:25-39): every sphere vs every lane.
+
+    Unrolled x4: Mosaic does not software-pipeline fori_loop bodies, so the
+    rolled loop serializes each sphere's 13 scalar SMEM loads against its
+    ~25 VPU ops; unrolling lets 4 spheres' loads and quadratics overlap
+    (measured 2.1x on the isolated kernel, tools/kexp.py)."""
+    n_main = (n_spheres // UNROLL) * UNROLL
+
+    def body(q, hc):
+        for u in range(UNROLL):
+            hc = _sphere_test(sph_ref, q * UNROLL + u, rays, hc, t_min)
+        return hc
+
+    hc = jax.lax.fori_loop(0, n_main // UNROLL, body, _hit_init(shape))
+    for s in range(n_main, n_spheres):  # static remainder
+        hc = _sphere_test(sph_ref, s, rays, hc, t_min)
+    return hc
+
+
+def _closest_hit_bvh(sph_ref, nf_ref, ni_ref, rays, t_min, shape):
+    """Tile-uniform stackless BVH traversal.
+
+    One scalar pointer walks the flat tree (pre-order + miss links, the
+    layout of bvh.FlatBVH): per node, every lane slab-tests the node box
+    against its own ray with its own current best_t; if ANY lane hits, an
+    inner node descends (ptr+1) and a leaf runs the exact sphere test on its
+    contiguous primitives; otherwise the whole subtree is skipped via the
+    miss link. Per-lane best_t tightens during traversal, culling later
+    subtrees. The reference's intended ordered traversal (src/bvh.h:16-24)
+    shrank the right child's t-range the same way — here the "t-range" is
+    the per-lane best_t vector.
+    """
+    ox, oy, oz, dx, dy, dz, tm, a, inv_a = rays
+    # Slab reciprocals, hoisted out of the node loop (direction is fixed for
+    # the whole traversal). Clamp |d| ~ 0 to a finite huge reciprocal so
+    # (mn - o) * inv can't produce NaN via 0 * inf (matches bvh.py:239).
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx) > 1e-20, dx, 1e-20)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy) > 1e-20, dy, 1e-20)
+    inv_dz = 1.0 / jnp.where(jnp.abs(dz) > 1e-20, dz, 1e-20)
+
+    # Two-level loop: the INNER while walks inner nodes carrying only
+    # (scalar ptr, scalar found) — no vector carries, no per-node copies of
+    # the 12-field hit state — until it parks on an overlapping leaf (or the
+    # sentinel). The OUTER loop (one iteration per *visited leaf*) runs the
+    # sphere tests and re-enters the walk at the leaf's miss link. A rolled
+    # single-loop formulation pays a lax.cond with the full hit-state carry
+    # at EVERY node; here the expensive state only crosses per leaf.
+
+    def outer_cond(c):
+        return c[0] >= 0
+
+    def outer_body(c):
+        ptr0 = c[0]
+        hc = c[1:]
+        bt = hc[0]
+
+        def seek_cond(s):
+            p, found = s
+            return (p >= 0) & jnp.logical_not(found)
+
+        def seek_body(s):
+            p, _ = s
+            t0 = (nf_ref[NF_MNX, p] - ox) * inv_dx
+            t1 = (nf_ref[NF_MXX, p] - ox) * inv_dx
+            tn = jnp.minimum(t0, t1)
+            tf = jnp.maximum(t0, t1)
+            t0 = (nf_ref[NF_MNY, p] - oy) * inv_dy
+            t1 = (nf_ref[NF_MXY, p] - oy) * inv_dy
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            t0 = (nf_ref[NF_MNZ, p] - oz) * inv_dz
+            t1 = (nf_ref[NF_MXZ, p] - oz) * inv_dz
+            tn = jnp.maximum(tn, jnp.maximum(jnp.minimum(t0, t1), t_min))
+            tf = jnp.minimum(tf, jnp.minimum(jnp.maximum(t0, t1), bt))
+            # any lane enters the box within its open (t_min, best_t) range
+            any_hit = jnp.max(jnp.where(tf > tn, 1.0, 0.0)) > 0.0
+            is_leaf = ni_ref[NI_COUNT, p] > 0
+            found = any_hit & is_leaf
+            nxt = jnp.where(
+                any_hit & jnp.logical_not(is_leaf),
+                p + 1,                       # descend (first child is next in pre-order)
+                jnp.where(found, p, ni_ref[NI_MISS, p]),  # park / skip subtree
+            )
+            return (nxt, found)
+
+        leaf, found = jax.lax.while_loop(seek_cond, seek_body, (ptr0, False))
+        node = jnp.maximum(leaf, 0)
+        start = ni_ref[NI_START, node]
+        count = jnp.where(found, ni_ref[NI_COUNT, node], 0)  # 0-trip if done
+
+        def leaf_body(k, h):
+            return _sphere_test(sph_ref, start + k, rays, h, t_min)
+
+        hc = jax.lax.fori_loop(0, count, leaf_body, hc)
+        nxt = jnp.where(found, ni_ref[NI_MISS, node], jnp.int32(SENTINEL_I32))
+        return (nxt, *hc)
+
+    out = jax.lax.while_loop(
+        outer_cond, outer_body, (jnp.int32(0), *_hit_init(shape))
+    )
+    return out[1:]
+
+
+def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
+                 dx_ref, dy_ref, dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
+                 *, max_depth: int, t_min: float, res_refs=None):
+    """Shared kernel body: depth loop of (closest hit -> shade/scatter).
+
+    `res_refs` = (idx, ndx, ndy, ndz, rfl) VMEM refs of shape
+    (max_depth, SUB, LANES): when given, per-bounce path decisions are
+    recorded for the path-replay backward (grad/replay.py) — winner sphere
+    index (-1 miss, -2 dead), scattered direction, dielectric branch bit."""
+    # Two independent seed words (advisor round 1): `seed + program_id` made
+    # sample chunks whose seeds differ by < the tile count reuse identical
+    # per-tile streams and could overflow int32; feeding the tile index as a
+    # separate word lets the PRNG mix them nonlinearly.
+    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -106,54 +282,15 @@ def _megakernel(
     # Mosaic cond carry (i8->i1 truncation is unsupported).
     alive = jnp.ones(shape, jnp.float32)
 
-    def bounce(carry):
+    def bounce(dep, carry):
         ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive = carry
 
         a = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20)
         inv_a = 1.0 / a
+        rays = (ox, oy, oz, dx, dy, dz, tm, a, inv_a)
 
-        # ---- closest hit over all spheres, tracking winner attributes ----
-        def sph_body(s, hc):
-            (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio) = hc
-            cx = sph_ref[ROW_CX, s]; cy = sph_ref[ROW_CY, s]; cz = sph_ref[ROW_CZ, s]
-            mx = sph_ref[ROW_MX, s]; my = sph_ref[ROW_MY, s]; mz = sph_ref[ROW_MZ, s]
-            rad = sph_ref[ROW_RAD, s]
-
-            ccx = cx + tm * mx   # src/sphere.h:68-72 motion lerp
-            ccy = cy + tm * my
-            ccz = cz + tm * mz
-            ocx = ox - ccx; ocy = oy - ccy; ocz = oz - ccz
-            half_b = ocx * dx + ocy * dy + ocz * dz
-            cq = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-            disc = half_b * half_b - a * cq
-            dpos = disc > 0.0
-            sq = jnp.sqrt(jnp.where(dpos, disc, 1.0))
-            r0 = (-half_b - sq) * inv_a
-            r1 = (-half_b + sq) * inv_a
-            in0 = (r0 > t_min) & (r0 < bt)
-            in1 = (r1 > t_min) & (r1 < bt)
-            root = jnp.where(in0, r0, r1)
-            better = dpos & (in0 | in1)
-
-            bt = jnp.where(better, root, bt)
-            hx = jnp.where(better, ccx, hx)
-            hy = jnp.where(better, ccy, hy)
-            hz = jnp.where(better, ccz, hz)
-            hrad = jnp.where(better, rad, hrad)
-            hmat = jnp.where(better, sph_ref[ROW_MAT, s], hmat)
-            har = jnp.where(better, sph_ref[ROW_AR, s], har)
-            hag = jnp.where(better, sph_ref[ROW_AG, s], hag)
-            hab = jnp.where(better, sph_ref[ROW_AB, s], hab)
-            hfz = jnp.where(better, sph_ref[ROW_FUZZ, s], hfz)
-            hio = jnp.where(better, sph_ref[ROW_IOR, s], hio)
-            return (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio)
-
-        zeros = jnp.zeros(shape, jnp.float32)
-        init = (jnp.full(shape, T_MAX, jnp.float32), zeros, zeros, zeros,
-                jnp.ones(shape, jnp.float32), zeros, zeros, zeros, zeros,
-                zeros, jnp.ones(shape, jnp.float32))
-        (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio) = (
-            jax.lax.fori_loop(0, n_spheres, sph_body, init)
+        (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio, bs) = closest_hit(
+            rays, shape
         )
 
         hit = bt < T_MAX
@@ -233,6 +370,17 @@ def _megakernel(
         scattered = (~is_met) | met_ok
 
         hit_live = alive_b & hit
+        if res_refs is not None:
+            idx_ref, ndx_ref, ndy_ref, ndz_ref, rfl_ref = res_refs
+            miss_live = alive_b & ~hit
+            idx_val = jnp.where(hit_live, bs, jnp.where(miss_live, -1.0, -2.0))
+            idx_ref[pl.ds(dep, 1)] = idx_val[None]
+            ndx_ref[pl.ds(dep, 1)] = jnp.where(hit_live, sx, 0.0)[None]
+            ndy_ref[pl.ds(dep, 1)] = jnp.where(hit_live, sy, 0.0)[None]
+            ndz_ref[pl.ds(dep, 1)] = jnp.where(hit_live, sz, 0.0)[None]
+            rfl_ref[pl.ds(dep, 1)] = jnp.where(
+                hit_live & is_die & do_refl, 1.0, 0.0
+            )[None]
         thr_r = thr_r * jnp.where(hit_live, att_r, 1.0)
         thr_g = thr_g * jnp.where(hit_live, att_g, 1.0)
         thr_b = thr_b * jnp.where(hit_live, att_b, 1.0)
@@ -248,11 +396,18 @@ def _megakernel(
 
     carry = (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
              rad_r, rad_g, rad_b, alive)
+    if res_refs is not None:
+        # bounces skipped by the early exit keep the DEAD initialization
+        res_refs[0][:] = jnp.full((max_depth, SUB, LANES), -2.0, jnp.float32)
+        for r in res_refs[1:]:
+            r[:] = jnp.zeros((max_depth, SUB, LANES), jnp.float32)
     # Rolled depth loop (keeps kernel code size O(1) in max_depth — an
     # unrolled python loop at depth 16+ blows Mosaic compile time); each
     # iteration early-exits via a scalar branch once the tile is dead.
-    def depth_body(_, c):
-        return jax.lax.cond(jnp.max(c[-1]) > 0.5, bounce, lambda x: x, c)
+    def depth_body(d, c):
+        return jax.lax.cond(
+            jnp.max(c[-1]) > 0.5, lambda x: bounce(d, x), lambda x: x, c
+        )
 
     carry = jax.lax.fori_loop(0, max_depth, depth_body, carry)
 
@@ -261,11 +416,55 @@ def _megakernel(
     rb_ref[:] = carry[11]
 
 
+def _megakernel(
+    seed_ref,  # SMEM (1, 1) int32
+    sph_ref,   # SMEM (N_ROWS, N)
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,  # VMEM (8, 128)
+    rr_ref, rg_ref, rb_ref,  # outputs (8, 128)
+    *, n_spheres: int, max_depth: int, t_min: float,
+):
+    def hit(rays, shape):
+        return _closest_hit_brute(sph_ref, rays, t_min, n_spheres, shape)
+
+    _bounce_loop(seed_ref, hit, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                 dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
+                 max_depth=max_depth, t_min=t_min)
+
+
+def _megakernel_bvh(
+    seed_ref,  # SMEM (1, 1) int32
+    sph_ref,   # SMEM (N_ROWS, N) — MUST be in BVH leaf order
+    nf_ref,    # SMEM (6, M) float32 node boxes
+    ni_ref,    # SMEM (3, M) int32 (miss, leaf_start, leaf_count)
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+    rr_ref, rg_ref, rb_ref,
+    *, max_depth: int, t_min: float,
+):
+    def hit(rays, shape):
+        return _closest_hit_bvh(sph_ref, nf_ref, ni_ref, rays, t_min, shape)
+
+    _bounce_loop(seed_ref, hit, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                 dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
+                 max_depth=max_depth, t_min=t_min)
+
+
 def _pad_flat(x, total):
     pad = total - x.shape[0]
     if pad == 0:
         return x.astype(jnp.float32)
     return jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad,))]).astype(jnp.float32)
+
+
+def _scene_table(scene: Scene) -> jnp.ndarray:
+    rows = [
+        scene.center0[:, 0], scene.center0[:, 1], scene.center0[:, 2],
+        scene.center_delta[:, 0], scene.center_delta[:, 1], scene.center_delta[:, 2],
+        scene.radius, scene.mat_type.astype(jnp.float32),
+        scene.albedo[:, 0], scene.albedo[:, 1], scene.albedo[:, 2],
+        scene.fuzz, scene.ior,
+    ]
+    sph = jnp.stack(rows + [jnp.zeros_like(scene.radius)] * (N_ROWS - len(rows)))
+    return sph.astype(jnp.float32)
 
 
 @functools.partial(
@@ -280,8 +479,14 @@ def pallas_trace_paths(
     max_depth: int,
     t_min: float = T_MIN,
     interpret: bool = False,
+    bvh=None,                # FlatBVH over `scene` (already in leaf order)
 ) -> jnp.ndarray:
-    """Radiance [R, 3] for camera rays — full path trace in one kernel."""
+    """Radiance [R, 3] for camera rays — full path trace in one kernel.
+
+    With `bvh` (a bvh.FlatBVH built over `scene`; the scene MUST already be
+    permuted to leaf order via bvh.reorder_scene) closest-hit runs the
+    tile-uniform traversal — sub-linear in sphere count for coherent tiles.
+    """
     R = origin.shape[0]
     n = scene.radius.shape[0]
     r_pad = ((R + TILE - 1) // TILE) * TILE
@@ -295,35 +500,149 @@ def pallas_trace_paths(
     ]
     comps = [c.reshape(tiles * SUB, LANES) for c in comps]
 
-    rows = [
-        scene.center0[:, 0], scene.center0[:, 1], scene.center0[:, 2],
-        scene.center_delta[:, 0], scene.center_delta[:, 1], scene.center_delta[:, 2],
-        scene.radius, scene.mat_type.astype(jnp.float32),
-        scene.albedo[:, 0], scene.albedo[:, 1], scene.albedo[:, 2],
-        scene.fuzz, scene.ior,
-    ]
-    sph = jnp.stack(rows + [jnp.zeros_like(scene.radius)] * (N_ROWS - len(rows)))
-    sph = sph.astype(jnp.float32)
+    sph = _scene_table(scene)
 
-    kernel = functools.partial(
-        _megakernel, n_spheres=n, max_depth=max_depth, t_min=t_min
-    )
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    if bvh is None:
+        kernel = functools.partial(
+            _megakernel, n_spheres=n, max_depth=max_depth, t_min=t_min
+        )
+        in_specs = [smem((1, 1)), smem((N_ROWS, n))]
+        args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), sph)
+    else:
+        m = bvh.node_min.shape[0]
+        nf = jnp.stack([
+            bvh.node_min[:, 0], bvh.node_min[:, 1], bvh.node_min[:, 2],
+            bvh.node_max[:, 0], bvh.node_max[:, 1], bvh.node_max[:, 2],
+        ]).astype(jnp.float32)
+        ni = jnp.stack([
+            bvh.miss_link, bvh.leaf_start, bvh.leaf_count
+        ]).astype(jnp.int32)
+        kernel = functools.partial(_megakernel_bvh, max_depth=max_depth, t_min=t_min)
+        in_specs = [smem((1, 1)), smem((N_ROWS, n)), smem((6, m)), smem((3, m))]
+        args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), sph, nf, ni)
 
     rr, rg, rb = pl.pallas_call(
         kernel,
         grid=(tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((N_ROWS, n), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ]
-        + [ray_spec] * 7,
+        in_specs=in_specs + [ray_spec] * 7,
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((tiles * SUB, LANES), jnp.float32)] * 3,
         # TPU interpret params (not plain interpret=True): the hardware PRNG
         # primitives only have lowering rules in the TPU interpreter.
         interpret=(pltpu.InterpretParams() if interpret else False),
-    )(jnp.asarray(seed, jnp.int32).reshape(1, 1), sph, *comps)
+    )(*args, *comps)
 
     rad = jnp.stack([rr.reshape(-1)[:R], rg.reshape(-1)[:R], rb.reshape(-1)[:R]], axis=-1)
     return rad
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_depth", "t_min", "interpret")
+)
+def pallas_trace_record(
+    origin: jnp.ndarray,     # [R, 3]
+    direction: jnp.ndarray,  # [R, 3]
+    time: jnp.ndarray,       # [R]
+    scene: Scene,
+    seed: jnp.ndarray,       # scalar int32
+    max_depth: int,
+    t_min: float = T_MIN,
+    interpret: bool = False,
+    bvh=None,
+):
+    """Like pallas_trace_paths, but also records path residuals in-kernel
+    for the path-replay backward (grad/replay.py).
+
+    Returns (radiance [R, 3], grad.replay.PathResiduals) — idx [D, R] int32
+    (>=0 hit sphere in THIS scene's ordering, -1 miss, -2 dead), ndir
+    [D, R, 3], refl [D, R] bool."""
+    from raytracingproject_tpu.grad.replay import PathResiduals
+
+    R = origin.shape[0]
+    n = scene.radius.shape[0]
+    r_pad = ((R + TILE - 1) // TILE) * TILE
+    tiles = r_pad // TILE
+
+    comps = [
+        _pad_flat(origin[:, 0], r_pad), _pad_flat(origin[:, 1], r_pad),
+        _pad_flat(origin[:, 2], r_pad), _pad_flat(direction[:, 0], r_pad),
+        _pad_flat(direction[:, 1], r_pad), _pad_flat(direction[:, 2], r_pad),
+        _pad_flat(time, r_pad),
+    ]
+    comps = [c.reshape(tiles * SUB, LANES) for c in comps]
+    sph = _scene_table(scene)
+
+    ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    res_spec = pl.BlockSpec(
+        (max_depth, SUB, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    def wrap(kernel_core):
+        def kernel(*refs):
+            ins = refs[: len(in_specs)]
+            rr, rg, rb, idx, ndx, ndy, ndz, rfl = refs[len(in_specs):]
+            kernel_core(*ins, rr, rg, rb, res_refs=(idx, ndx, ndy, ndz, rfl))
+
+        return kernel
+
+    if bvh is None:
+        def core(seed_ref, sph_ref, *rest, res_refs):
+            ray_refs, out_refs = rest[:7], rest[7:]
+
+            def hit(rays, shape):
+                return _closest_hit_brute(sph_ref, rays, t_min, n, shape)
+
+            _bounce_loop(seed_ref, hit, *ray_refs, *out_refs,
+                         max_depth=max_depth, t_min=t_min, res_refs=res_refs)
+
+        in_specs = [smem((1, 1)), smem((N_ROWS, n))]
+        args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), sph)
+    else:
+        m = bvh.node_min.shape[0]
+        nf = jnp.stack([
+            bvh.node_min[:, 0], bvh.node_min[:, 1], bvh.node_min[:, 2],
+            bvh.node_max[:, 0], bvh.node_max[:, 1], bvh.node_max[:, 2],
+        ]).astype(jnp.float32)
+        ni = jnp.stack([
+            bvh.miss_link, bvh.leaf_start, bvh.leaf_count
+        ]).astype(jnp.int32)
+
+        def core(seed_ref, sph_ref, nf_ref, ni_ref, *rest, res_refs):
+            ray_refs, out_refs = rest[:7], rest[7:]
+
+            def hit(rays, shape):
+                return _closest_hit_bvh(sph_ref, nf_ref, ni_ref, rays, t_min, shape)
+
+            _bounce_loop(seed_ref, hit, *ray_refs, *out_refs,
+                         max_depth=max_depth, t_min=t_min, res_refs=res_refs)
+
+        in_specs = [smem((1, 1)), smem((N_ROWS, n)), smem((6, m)), smem((3, m))]
+        args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), sph, nf, ni)
+
+    in_specs = in_specs + [ray_spec] * 7
+
+    outs = pl.pallas_call(
+        wrap(core),
+        grid=(tiles,),
+        in_specs=in_specs,
+        out_specs=[ray_spec] * 3 + [res_spec] * 5,
+        out_shape=[jax.ShapeDtypeStruct((tiles * SUB, LANES), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((max_depth, tiles * SUB, LANES), jnp.float32)] * 5,
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(*args, *comps)
+
+    rr, rg, rb, idx, ndx, ndy, ndz, rfl = outs
+    rad = jnp.stack(
+        [rr.reshape(-1)[:R], rg.reshape(-1)[:R], rb.reshape(-1)[:R]], axis=-1
+    )
+    flat = lambda x: x.reshape(max_depth, -1)[:, :R]
+    res = PathResiduals(
+        idx=flat(idx).astype(jnp.int32),
+        ndir=jnp.stack([flat(ndx), flat(ndy), flat(ndz)], axis=-1),
+        refl=flat(rfl) > 0.5,
+    )
+    return rad, res

@@ -26,14 +26,45 @@ SKY_WHITE = (1.0, 1.0, 1.0)
 SKY_BLUE = (0.5, 0.7, 1.0)
 
 
-def sky_color(direction: jnp.ndarray) -> jnp.ndarray:
-    """Background gradient (src/camera_cpu.h:23-25):
-    lerp(white, (0.5,0.7,1.0)) by 0.5*(unit_dir.y + 1)."""
+def sky_color(direction: jnp.ndarray, sky_tex: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Background radiance for a miss ray.
+
+    Default: the reference's gradient (src/camera_cpu.h:23-25):
+    lerp(white, (0.5,0.7,1.0)) by 0.5*(unit_dir.y + 1).
+
+    With `sky_tex` ([Ht, Wt, 3] linear float): an equirectangular
+    environment-map lookup (bilinear in the texture plane). This is the
+    TPU-native role for the session's `add_texture` (the reference loads,
+    transitions, and *displays* its texture, src/vulkan/texture.cpp:9-43 +
+    frag binding 1; here the honest path-tracing equivalent is an
+    environment light sampled on miss)."""
     unit = normalize(direction, eps=1e-12)
-    a = 0.5 * (unit[..., 1] + 1.0)
-    white = jnp.asarray(SKY_WHITE, direction.dtype)
-    blue = jnp.asarray(SKY_BLUE, direction.dtype)
-    return (1.0 - a)[..., None] * white + a[..., None] * blue
+    if sky_tex is None:
+        a = 0.5 * (unit[..., 1] + 1.0)
+        white = jnp.asarray(SKY_WHITE, direction.dtype)
+        blue = jnp.asarray(SKY_BLUE, direction.dtype)
+        return (1.0 - a)[..., None] * white + a[..., None] * blue
+
+    ht, wt = sky_tex.shape[0], sky_tex.shape[1]
+    # equirectangular: u from azimuth, v from polar angle (y-up)
+    u = 0.5 + jnp.arctan2(unit[..., 2], unit[..., 0]) / (2.0 * jnp.pi)
+    v = jnp.arccos(jnp.clip(unit[..., 1], -1.0, 1.0)) / jnp.pi
+    x = u * (wt - 1)
+    y = v * (ht - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, wt - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, ht - 1)
+    x1 = jnp.minimum(x0 + 1, wt - 1)
+    y1 = jnp.minimum(y0 + 1, ht - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    flat = sky_tex.reshape(-1, 3)
+    c00 = jnp.take(flat, y0 * wt + x0, axis=0)
+    c01 = jnp.take(flat, y0 * wt + x1, axis=0)
+    c10 = jnp.take(flat, y1 * wt + x0, axis=0)
+    c11 = jnp.take(flat, y1 * wt + x1, axis=0)
+    top = c00 * (1 - fx) + c01 * fx
+    bot = c10 * (1 - fx) + c11 * fx
+    return (top * (1 - fy) + bot * fy).astype(direction.dtype)
 
 
 class _PathState(NamedTuple):
@@ -51,6 +82,7 @@ def _bounce(
     key: jax.Array,
     bvh=None,
     use_pallas: bool = False,
+    sky_tex: jnp.ndarray | None = None,
 ) -> _PathState:
     """One bounce of every live ray: closest hit (brute-force scan, BVH
     traversal, or the fused Pallas kernel), scatter or sky."""
@@ -79,7 +111,7 @@ def _bounce(
     miss = state.alive & ~rec.hit
     # On miss: add throughput * sky and retire (src/camera_cpu.h:23-25).
     radiance = state.radiance + jnp.where(
-        miss[..., None], state.throughput * sky_color(state.direction), 0.0
+        miss[..., None], state.throughput * sky_color(state.direction, sky_tex), 0.0
     )
     # On hit: multiply throughput by attenuation; absorb (metal below
     # hemisphere) retires the ray with no contribution (src/camera_cpu.h:20).
@@ -104,6 +136,7 @@ def ray_color(
     bvh=None,
     early_exit: bool = False,
     use_pallas: bool = False,
+    sky_tex: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Radiance for a batch of rays — iterative counterpart of the
     reference's depth-limited recursion (src/camera_cpu.h:8-26). Rays still
@@ -135,14 +168,14 @@ def ray_color(
         def body(carry):
             depth, state = carry
             k = jax.random.fold_in(key, depth)
-            return depth + 1, _bounce(scene, time, state, k, bvh, use_pallas)
+            return depth + 1, _bounce(scene, time, state, k, bvh, use_pallas, sky_tex)
 
         _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
         return state.radiance
 
     def step(state, depth):
         k = jax.random.fold_in(key, depth)
-        return _bounce(scene, time, state, k, bvh, use_pallas), None
+        return _bounce(scene, time, state, k, bvh, use_pallas, sky_tex), None
 
     state, _ = jax.lax.scan(step, state, jnp.arange(max_depth))
     return state.radiance
@@ -168,6 +201,7 @@ def render_pass(
     early_exit: bool = False,
     use_pallas: bool = False,
     use_megakernel: bool = False,
+    sky_tex: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """`spp_chunk` samples of every pixel; returns the radiance *sum*
     [H, W, 3] over the chunk (caller divides by total spp, as
@@ -188,14 +222,26 @@ def render_pass(
     k_ray, k_path = jax.random.split(key)
     origin, direction, time = generate_rays(cam, i, j, k_ray)
     if use_megakernel:
+        if jax.default_backend() != "tpu":
+            raise ValueError(
+                "use_megakernel requires a TPU backend (the Pallas megakernel "
+                f"has no {jax.default_backend()} lowering); use early_exit or "
+                "use_pallas instead, or run under interpret via "
+                "ops.pallas.megakernel.pallas_trace_paths(interpret=True)"
+            )
         from raytracingproject_tpu.ops.pallas.megakernel import pallas_trace_paths
 
         seed = jax.random.randint(k_path, (), 0, 2**31 - 1, dtype=jnp.int32)
-        rad = pallas_trace_paths(origin, direction, time, scene, seed, max_depth)
+        # With a BVH, closest-hit inside the kernel is the tile-uniform
+        # traversal (scene must already be in leaf order — render() below
+        # reorders when settings.use_bvh is set).
+        rad = pallas_trace_paths(
+            origin, direction, time, scene, seed, max_depth, bvh=bvh
+        )
     else:
         rad = ray_color(
             scene, origin, direction, time, k_path, max_depth, bvh, early_exit,
-            use_pallas,
+            use_pallas, sky_tex,
         )
     return rad.reshape(spp_chunk, height, width, 3).sum(axis=0)
 
@@ -205,6 +251,7 @@ def render(
     camera: Camera,
     key: jax.Array | None = None,
     settings: RenderSettings | None = None,
+    sky_texture: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full render: mean radiance image [H, W, 3] in linear space.
 
@@ -213,6 +260,17 @@ def render(
     passes are chunked so each device batch stays at a static size.
     """
     settings = settings or RenderSettings()
+    use_megakernel = settings.use_megakernel
+    if sky_texture is not None and use_megakernel:
+        # Environment-map lookup is a per-lane gather; the megakernel has no
+        # gather path, so sky-textured renders take the XLA renderer.
+        import logging
+
+        logging.getLogger("raytracingproject_tpu").info(
+            "sky texture set: using the XLA render path (megakernel has no "
+            "texture gather)"
+        )
+        use_megakernel = False
     key = key if key is not None else jax.random.PRNGKey(0)
     width, height = camera.image_size()
     cam = camera.derive(settings.dtype)
@@ -222,7 +280,10 @@ def render(
     if settings.use_bvh:
         from raytracingproject_tpu.bvh import build_bvh, reorder_scene
 
-        bvh = build_bvh(scene)
+        leaf = settings.bvh_leaf_size
+        if settings.use_megakernel and leaf < 8:
+            leaf = 8  # tile-uniform traversal amortizes nodes over 1024 rays
+        bvh = build_bvh(scene, leaf_size=leaf)
         scene = reorder_scene(scene, bvh)
 
     pixels = width * height
@@ -245,7 +306,8 @@ def render(
             bvh=bvh,
             early_exit=True,
             use_pallas=settings.use_pallas,
-            use_megakernel=settings.use_megakernel,
+            use_megakernel=use_megakernel,
+            sky_tex=sky_texture,
         )
         done += chunk
         chunks += 1
@@ -259,9 +321,10 @@ def render_image(
     camera: Camera,
     key: jax.Array | None = None,
     settings: RenderSettings | None = None,
+    sky_texture: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Render and quantize to uint8 [H, W, 3] (gamma + clamp per
     src/color.h:14-35)."""
     from raytracingproject_tpu.color import to_u8
 
-    return to_u8(render(scene, camera, key, settings))
+    return to_u8(render(scene, camera, key, settings, sky_texture))

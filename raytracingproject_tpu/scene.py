@@ -184,6 +184,33 @@ def make_minimal_scene(dtype=jnp.float32) -> Scene:
     return b.build(dtype)
 
 
+def make_random_scene(n: int, seed: int = 0, extent: float = 22.0,
+                      dtype=jnp.float32) -> Scene:
+    """`n` random small spheres + ground — the cover-scene recipe
+    (src/main.cpp:14-41) scaled to arbitrary sphere counts for acceleration-
+    structure benchmarks (BASELINE has no counterpart; the reference caps at
+    ~485 spheres)."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    b.add_lambertian((0.0, -1000.0, 0.0), 1000.0, (0.5, 0.5, 0.5))
+    half = extent / 2.0
+    for _ in range(n - 1):
+        choose_mat = rng.random()
+        center = np.array([
+            rng.uniform(-half, half), rng.uniform(0.15, 0.45), rng.uniform(-half, half)
+        ])
+        radius = rng.uniform(0.1, 0.3)
+        if choose_mat < 0.8:
+            albedo = rng.random(3) * rng.random(3)
+            center2 = center + np.array([0.0, rng.uniform(0.0, 0.5), 0.0])
+            b.add_lambertian(center, radius, albedo, center2=center2)
+        elif choose_mat < 0.95:
+            b.add_metal(center, radius, rng.uniform(0.5, 1.0, 3), rng.uniform(0.0, 0.5))
+        else:
+            b.add_dielectric(center, radius, 1.5)
+    return b.build(dtype)
+
+
 def make_ground_scene(dtype=jnp.float32) -> Scene:
     """The reference unit test's world: only the r=1000 ground sphere
     (tests/tests.cpp:26-29)."""

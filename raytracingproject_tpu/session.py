@@ -157,10 +157,14 @@ class RendererSession:
     def add_texture(self, path: str) -> None:
         """Load an image asset (src/graphical_environment.h:29, stb-based
         Texture src/vulkan/texture.cpp:9-43). Accepts PPM natively; other
-        formats via PIL when available. The texture is kept for compositing /
-        background use; it does not affect the path-traced radiance (in the
-        reference the sampled texture is what the window actually shows —
-        SURVEY.md §3.3)."""
+        formats via PIL when available.
+
+        The loaded texture becomes the ENVIRONMENT MAP: subsequent frames
+        sample it (equirectangular, bilinear) for the sky radiance on ray
+        miss instead of the default gradient — the path-tracing equivalent
+        of the reference's sampled-and-displayed texture (its frag shader
+        binding 1, SURVEY.md §3.3). Stored u8 values are decoded to linear
+        radiance by inverting the sqrt gamma of src/color.h:9-12."""
         p = Path(path)
         if not p.exists():
             _log_and_throw(f"texture not found: {path}")
@@ -193,7 +197,11 @@ class RendererSession:
         if not self._initialized:
             _log_and_throw("init() not called")
         key = jax.random.PRNGKey(self._frame_index)
-        img = render(self.scene(), self.camera, key, self.settings)
+        sky = None
+        if self._texture is not None:
+            # u8 -> linear radiance (invert the sqrt gamma of src/color.h:9-12)
+            sky = (jnp.asarray(self._texture, jnp.float32) / 255.0) ** 2
+        img = render(self.scene(), self.camera, key, self.settings, sky_texture=sky)
         self._inflight.append(img)
         self._frame_index += 1
         while len(self._inflight) > self.settings.max_frames_in_flight:

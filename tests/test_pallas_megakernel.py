@@ -67,6 +67,44 @@ def test_megakernel_sky_exact():
     np.testing.assert_allclose(pk, xk, atol=2e-5)
 
 
+def test_megakernel_bvh_depth1_exact():
+    """Tile-uniform BVH traversal vs brute megakernel vs XLA, depth-1
+    (RNG-free), interpret mode. Tiny scene: the interpreter executes the
+    per-node while loop sequentially, so node count must stay small here;
+    the full cover-scene parity runs compiled on the TPU lane
+    (tests/test_tpu_lane.py)."""
+    from raytracingproject_tpu.bvh import build_bvh, reorder_scene
+
+    scene = make_three_sphere_scene()
+    bvh = build_bvh(scene, leaf_size=2)
+    rscene = reorder_scene(scene, bvh)
+    cam = Camera(
+        aspect_ratio=16.0 / 9.0,
+        image_width=64,
+        samples_per_pixel=1,
+        max_depth=8,
+        vfov=90.0,
+        lookfrom=(0.0, 0.0, 0.0),
+        lookat=(0.0, 0.0, -1.0),
+        defocus_angle=0.0,
+        focus_dist=1.0,
+    )
+    R = 1024
+    o, d, t = gen(cam, R, jax.random.PRNGKey(4))
+
+    pk_bvh = np.asarray(
+        pallas_trace_paths(o, d, t, rscene, jnp.int32(7), max_depth=1,
+                           interpret=True, bvh=bvh)
+    )
+    pk_brute = np.asarray(
+        pallas_trace_paths(o, d, t, scene, jnp.int32(7), max_depth=1, interpret=True)
+    )
+    xk = np.asarray(ray_color(scene, o, d, t, jax.random.PRNGKey(3), max_depth=1))
+    assert np.isfinite(pk_bvh).all()
+    np.testing.assert_allclose(pk_bvh, pk_brute, atol=5e-6)
+    np.testing.assert_allclose(pk_bvh, xk, atol=5e-5)
+
+
 def test_megakernel_deterministic_given_seed():
     scene = make_three_sphere_scene()
     R = 1024
