@@ -1,0 +1,203 @@
+"""Path-replay backpropagation: an O(depth) backward pass for path tracing.
+
+The naive reverse-mode of the megakernel renderer re-intersects every sphere
+per bounce in the backward sweep — O(N_spheres * depth) per ray both ways.
+Path replay (the technique of Vicini et al. 2021, "Path Replay
+Backpropagation") records the *discrete path decisions* during the forward
+pass — which sphere was hit (or miss/dead), the sampled scatter direction,
+and the dielectric reflect/refract branch — and differentiates a cheap
+REPLAY of the path instead: per bounce, only the known hit sphere's
+quadratic is re-solved (O(1), not O(N)), and the random scatter offsets are
+reconstructed from the recorded direction as constants:
+
+    lambertian  u  = stop_grad(dir_rec - n)          dir(p) = n(p) + u
+    metal       f  = stop_grad((dir_rec - refl)/fz)  dir(p) = refl(p) + fz(p)*f
+    dielectric  branch = recorded bit                dir(p) = reflect/refract(p)
+
+This yields EXACTLY the same gradient estimator as reverse-mode through the
+full XLA renderer (the RNG draws are parameter-independent and discrete
+topology — winner argmin, branch masks, absorption — is piecewise-constant,
+i.e. stop-gradient in both): test_replay.py asserts analytic equality. The
+payoff: the forward can be the Pallas megakernel (which has no VJP) with
+residuals recorded in-kernel, and the backward costs O(depth) per ray.
+
+The reference has no differentiable rendering at all; this module is part
+of the TPU-native differentiable additions (SURVEY.md §7, build-plan
+step 5). Known estimator properties (documented, matching grad/inverse.py):
+- fuzz gradient at exactly fuzz == 0 is taken as 0 (the recorded direction
+  carries no information about the fuzz sample there; fuzz >= 0 so the true
+  derivative is one-sided anyway),
+- discrete-event probabilities (Schlick branch, metal absorption) carry no
+  score-function term — same estimator as the direct path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracingproject_tpu.config import T_MIN, LAMBERTIAN, METAL, DIELECTRIC
+from raytracingproject_tpu.grad.inverse import SceneParams, apply_params
+from raytracingproject_tpu.materials import scatter
+from raytracingproject_tpu.ops.intersect import closest_hit
+from raytracingproject_tpu.ops.vecmath import dot, normalize, refract
+from raytracingproject_tpu.render import sky_color
+from raytracingproject_tpu.scene import Scene
+
+# idx codes (per bounce): >= 0 hit that sphere; MISS = sky then retire;
+# DEAD = ray already terminated (nothing happens).
+MISS = -1
+DEAD = -2
+
+
+class PathResiduals(NamedTuple):
+    """Recorded path decisions; leading axis = bounce depth.
+
+    All leaves are non-differentiable constants of the replay.
+    """
+
+    idx: jnp.ndarray    # [D, R] int32 — hit sphere / MISS / DEAD
+    ndir: jnp.ndarray   # [D, R, 3] float — scattered direction (valid on hit)
+    refl: jnp.ndarray   # [D, R] bool — dielectric reflect branch taken
+
+
+def xla_trace_record(
+    scene: Scene,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    time: jnp.ndarray,
+    key: jax.Array,
+    max_depth: int,
+) -> tuple[jnp.ndarray, PathResiduals]:
+    """Forward trace (identical radiance to render.ray_color with the same
+    key) that also records PathResiduals. Used by the CPU-lane equivalence
+    tests and as the off-TPU residual source; on TPU the Pallas megakernel
+    records the same structure in-kernel."""
+    n = origin.shape[0]
+    dtype = origin.dtype
+
+    def step(carry, depth):
+        o, d, thr, L, alive = carry
+        k = jax.random.fold_in(key, depth)
+        rec = closest_hit(
+            o, d, time, scene.center0, scene.center_delta, scene.radius, t_min=T_MIN
+        )
+        sc = scatter(k, d, rec, scene)
+
+        miss = alive & ~rec.hit
+        L = L + jnp.where(miss[:, None], thr * sky_color(d), 0.0)
+        hit_live = alive & rec.hit
+        thr = jnp.where(hit_live[:, None], thr * sc.attenuation, thr)
+        alive_next = hit_live & sc.scattered
+
+        idx = jnp.where(hit_live, rec.idx, jnp.where(miss, MISS, DEAD)).astype(jnp.int32)
+        res = (idx, jnp.where(hit_live[:, None], sc.direction, 0.0),
+               sc.dielectric_reflected & hit_live)
+
+        o = jnp.where(hit_live[:, None], rec.p, o)
+        d = jnp.where(hit_live[:, None], sc.direction, d)
+        return (o, d, thr, L, alive_next), res
+
+    init = (
+        origin, direction,
+        jnp.ones((n, 3), dtype), jnp.zeros((n, 3), dtype), jnp.ones((n,), bool),
+    )
+    (_, _, _, radiance, _), (idx, ndir, refl) = jax.lax.scan(
+        step, init, jnp.arange(max_depth)
+    )
+    return radiance, PathResiduals(idx=idx, ndir=ndir, refl=refl)
+
+
+def replay_radiance(
+    params: SceneParams,
+    scene: Scene,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    time: jnp.ndarray,
+    res: PathResiduals,
+) -> jnp.ndarray:
+    """Differentiable replay of recorded paths: radiance [R, 3] as a
+    function of `params`, with all discrete decisions frozen to `res`.
+
+    At the recording parameters this reproduces the forward radiance to
+    float precision; its jax.grad equals reverse-mode through the full
+    renderer (see module docstring). Cost per bounce: ONE sphere quadratic
+    per ray."""
+    scene_p = apply_params(scene, params)
+    sg = jax.lax.stop_gradient
+
+    def step(carry, r):
+        o, d, thr, L = carry
+        idx, ndir, refl = r
+        hit = idx >= 0
+        miss = idx == MISS
+        i = jnp.maximum(idx, 0)
+
+        c0 = jnp.take(scene_p.center0, i, axis=0)
+        cd = jnp.take(scene_p.center_delta, i, axis=0)
+        rad = jnp.take(scene_p.radius, i)
+        alb = jnp.take(scene_p.albedo, i, axis=0)
+        fz = jnp.take(scene_p.fuzz, i)
+        ior = jnp.take(scene_p.ior, i)
+        mat = jnp.take(scene.mat_type, i)
+
+        # re-solve the winner's quadratic (src/sphere.h:30-57): the final
+        # closest root is r0 when r0 > t_min else r1 (r0 <= r1 always).
+        cc = c0 + time[:, None] * cd
+        oc = o - cc
+        a = jnp.maximum(dot(d, d), 1e-20)
+        hb = dot(oc, d)
+        cq = dot(oc, oc) - rad * rad
+        disc = hb * hb - a * cq
+        dpos = disc > 0.0
+        sq = jnp.sqrt(jnp.where(dpos, disc, 1.0))
+        r0 = (-hb - sq) / a
+        r1 = (-hb + sq) / a
+        t = jnp.where(r0 > T_MIN, r0, r1)
+        t = jnp.where(hit, t, 1.0)
+
+        p = o + t[:, None] * d
+        r_safe = jnp.where(rad != 0.0, rad, 1.0)
+        outward = (p - cc) / r_safe[:, None]
+        front = dot(d, outward) < 0.0
+        nrm = jnp.where(front[:, None], outward, -outward)
+
+        L = L + jnp.where(miss[:, None], thr * sky_color(d), 0.0)
+        att = jnp.where((mat == DIELECTRIC)[:, None], 1.0, alb)
+        thr = jnp.where(hit[:, None], thr * att, thr)
+
+        ud = normalize(d, eps=1e-12)
+        # lambertian: recorded dir = n + u, u parameter-independent
+        u_const = sg(ndir) - sg(nrm)
+        lam_dir = nrm + u_const
+
+        # metal: recorded dir = reflect + fuzz * f
+        rfl = ud - 2.0 * dot(ud, nrm)[:, None] * nrm
+        fz_obs = sg(fz)
+        f_const = jnp.where(
+            (fz_obs > 1e-6)[:, None],
+            (sg(ndir) - sg(rfl)) / jnp.maximum(fz_obs, 1e-6)[:, None],
+            0.0,
+        )
+        met_dir = rfl + fz[:, None] * f_const
+
+        # dielectric: recorded branch bit
+        ratio = jnp.where(front, 1.0 / ior, ior)
+        die_dir = jnp.where(refl[:, None], rfl, refract(ud, nrm, ratio))
+
+        nd = jnp.where(
+            (mat == LAMBERTIAN)[:, None],
+            lam_dir,
+            jnp.where((mat == METAL)[:, None], met_dir, die_dir),
+        )
+        o = jnp.where(hit[:, None], p, o)
+        d = jnp.where(hit[:, None], nd, d)
+        return (o, d, thr, L), None
+
+    n = origin.shape[0]
+    dtype = origin.dtype
+    init = (origin, direction, jnp.ones((n, 3), dtype), jnp.zeros((n, 3), dtype))
+    (_, _, _, L), _ = jax.lax.scan(step, init, (res.idx, res.ndir, res.refl))
+    return L

@@ -25,6 +25,10 @@ class ScatterResult(NamedTuple):
     direction: jnp.ndarray    # [R, 3] scattered ray direction
     attenuation: jnp.ndarray  # [R, 3]
     scattered: jnp.ndarray    # [R] bool — False = absorbed (black)
+    # [R] bool — dielectric took the reflect branch (TIR or Schlick). Only
+    # meaningful for dielectric lanes; recorded by the path-replay backward
+    # (grad/replay.py) so the branch can be replayed as a constant decision.
+    dielectric_reflected: jnp.ndarray
 
 
 def schlick_reflectance(cosine: jnp.ndarray, ref_idx: jnp.ndarray) -> jnp.ndarray:
@@ -91,4 +95,9 @@ def scatter(
         mat[..., None] == DIELECTRIC, jnp.ones_like(albedo), albedo
     )
     scattered = jnp.where(mat == METAL, metal_ok, True)
-    return ScatterResult(direction=direction, attenuation=attenuation, scattered=scattered)
+    return ScatterResult(
+        direction=direction,
+        attenuation=attenuation,
+        scattered=scattered,
+        dielectric_reflected=do_reflect,
+    )
