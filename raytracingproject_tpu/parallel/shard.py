@@ -4,8 +4,16 @@ Layout (the BASELINE.json mandated strategy):
 - pixels sharded over the `rays` mesh axis,
 - spp sharded over the `samples` mesh axis (partial radiance sums psum-ed),
 - scene/params replicated; gradient all-reduce emerges as XLA's transpose
-  of the replicated-capture inside shard_map and is scheduled asynchronously
-  by the compiler (overlap with the backward sweep).
+  of the replicated-capture inside shard_map.
+
+Collective cost, measured (tools/overlap_hlo.py, OVERLAP_r02.json — the
+real TPU compiler AOT-targeting a v5e:2x4 slice): the scheduled HLO carries
+four synchronous all-reduces totalling ~245 KB (two ~110 KB image/loss
+psums + ~23 KB of parameter grads for the 488-sphere cover scene). The
+compiler declines to async them — correctly: KB-scale collectives are
+microseconds on ICI against a backward sweep of ~1e9 FLOPs/step, so
+overlap is immaterial for this workload class; the scaling story is that
+the gradient collective is negligible, not that it is hidden.
 """
 
 from __future__ import annotations
@@ -53,14 +61,30 @@ def _render_flat(
     *,
     max_depth: int,
     spp_local: int,
+    use_megakernel: bool = False,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Radiance sum over `spp_local` samples for a flat pixel batch [P].
-    Samples loop via lax.scan to keep the live set at one wavefront."""
+    Samples loop via lax.scan to keep the live set at one wavefront.
+
+    `use_megakernel` runs each shard's rays through the Pallas megakernel
+    (the fast forward path composed WITH sharding — round-1 VERDICT #5);
+    `interpret` lowers it through the TPU interpreter so the same sharded
+    program executes on the virtual CPU mesh (dryrun/test lane)."""
 
     def sample_pass(acc, k):
         k_ray, k_path = jax.random.split(k)
         origin, direction, time = generate_rays(cam, i, j, k_ray)
-        rad = ray_color(scene, origin, direction, time, k_path, max_depth)
+        if use_megakernel:
+            from raytracingproject_tpu.ops.pallas.megakernel import pallas_trace_paths
+
+            seed = jax.random.randint(k_path, (), 0, 2**31 - 1, dtype=jnp.int32)
+            rad = pallas_trace_paths(
+                origin, direction, time, scene, seed, max_depth,
+                interpret=interpret,
+            )
+        else:
+            rad = ray_color(scene, origin, direction, time, k_path, max_depth)
         return acc + rad, None
 
     acc = jnp.zeros((i.shape[0], 3), cam.center.dtype)
@@ -75,6 +99,7 @@ def render_sharded(
     key: jax.Array,
     mesh: Mesh,
     spp: int | None = None,
+    use_megakernel: bool = False,
 ) -> jnp.ndarray:
     """Distributed render: mean radiance [H, W, 3].
 
@@ -92,6 +117,7 @@ def render_sharded(
         raise ValueError(f"spp {spp} not divisible by samples axis {n_samples}")
     spp_local = spp // n_samples
     max_depth = camera.max_depth
+    interpret = use_megakernel and jax.default_backend() != "tpu"
 
     i, j = _pixel_grid(width, height, n_rays)
 
@@ -107,7 +133,9 @@ def render_sharded(
         s_id = jax.lax.axis_index("samples")
         k = jax.random.fold_in(jax.random.fold_in(key, ray_id), s_id)
         acc = _render_flat(
-            scene, cam, i_loc, j_loc, k, max_depth=max_depth, spp_local=spp_local
+            scene, cam, i_loc, j_loc, k, max_depth=max_depth,
+            spp_local=spp_local, use_megakernel=use_megakernel,
+            interpret=interpret,
         )
         return jax.lax.psum(acc, "samples")
 
@@ -124,13 +152,14 @@ def make_sharded_train_step(
     spp: int = 8,
     learning_rate: float = 2e-2,
     trainable: tuple[str, ...] | None = None,
+    use_megakernel: bool = False,
 ):
     """Sharded inverse-rendering step (BASELINE config 5 training path).
 
     Loss pixels shard over `rays`, samples over `samples`; `jax.grad`
     transposes the shard_map so parameter gradients are automatically
-    psum-ed across the whole mesh (XLA async collectives overlap this
-    all-reduce with the backward sweep). Params/opt state are replicated.
+    psum-ed across the whole mesh (a ~KB-scale collective — see the module
+    docstring and OVERLAP_r02.json). Params/opt state are replicated.
 
     Returns (params0, opt_state0, step) with
     step(params, opt_state, key, target_image) ->
@@ -158,6 +187,16 @@ def make_sharded_train_step(
 
     i, j = _pixel_grid(width, height, n_rays)
     npix = width * height
+    interpret = use_megakernel and jax.default_backend() != "tpu"
+    fast_radiance = None
+    if use_megakernel:
+        # Pallas forward + path-replay backward (grad/fast.py), composed
+        # with sharding: each ray shard records its own residuals and
+        # replays its own backward; the parameter-gradient psum emerges
+        # from the shard_map transpose exactly as in the XLA path.
+        from raytracingproject_tpu.grad.fast import make_fast_radiance
+
+        fast_radiance = make_fast_radiance(scene, max_depth, interpret=interpret)
 
     @partial(
         shard_map,
@@ -170,8 +209,19 @@ def make_sharded_train_step(
         ray_id = jax.lax.axis_index("rays")
         s_id = jax.lax.axis_index("samples")
         k = jax.random.fold_in(jax.random.fold_in(key, ray_id), s_id)
-        s = apply_params(scene_in, params)
-        acc = _render_flat(s, cam, i_loc, j_loc, k, max_depth=max_depth, spp_local=spp_local)
+        if use_megakernel:
+            def sample_pass(acc, ks):
+                k_ray, k_path = jax.random.split(ks)
+                o, d, t = generate_rays(cam, i_loc, j_loc, k_ray)
+                seed = jax.random.randint(k_path, (), 0, 2**31 - 1)
+                acc = acc + fast_radiance(params, o, d, t, seed.astype(jnp.float32))
+                return acc, None
+
+            acc = jnp.zeros((i_loc.shape[0], 3), cam.center.dtype)
+            acc, _ = jax.lax.scan(sample_pass, acc, jax.random.split(k, spp_local))
+        else:
+            s = apply_params(scene_in, params)
+            acc = _render_flat(s, cam, i_loc, j_loc, k, max_depth=max_depth, spp_local=spp_local)
         img = jax.lax.psum(acc, "samples") / (spp_local * n_samples)
         # padding pixels carry target = rendered value -> zero residual
         sq = jnp.sum((img - target_loc) ** 2)

@@ -57,6 +57,31 @@ class Sphere(NamedTuple):
 SPHERE_CAPACITY = 200
 
 
+def orbit_camera(camera: Camera, angle_deg: float) -> Camera:
+    """Camera rotated `angle_deg` around `lookat` about the `vup` axis.
+
+    The TPU-native analog of the reference's animated model matrix
+    (glm::rotate(mat4(1), time * radians(90), vec3(0,0,1)),
+    src/vulkan/graphical_environment_vulkan.cpp:374-391): rotating the scene
+    under a fixed camera equals orbiting the camera around the scene, and
+    the latter keeps the scene arrays (the expensive upload) untouched.
+    Host-side float64 Rodrigues rotation; only CameraDerived's traced arrays
+    change, so the compiled render pipeline is reused across frames.
+    """
+    lookfrom = np.asarray(camera.lookfrom, np.float64)
+    lookat = np.asarray(camera.lookat, np.float64)
+    axis = np.asarray(camera.vup, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    rel = lookfrom - lookat
+    th = np.radians(angle_deg)
+    rot = (
+        rel * np.cos(th)
+        + np.cross(axis, rel) * np.sin(th)
+        + axis * np.dot(axis, rel) * (1.0 - np.cos(th))
+    )
+    return dataclasses.replace(camera, lookfrom=tuple(lookat + rot))
+
+
 class RendererSession:
     """Stateful renderer session implementing the Layer-B interface
     (src/graphical_environment.h:17-32) on the JAX runtime.
@@ -71,8 +96,19 @@ class RendererSession:
         self,
         settings: RenderSettings | None = None,
         camera: Camera | None = None,
+        animate_deg_per_s: float = 0.0,
     ) -> None:
+        """`animate_deg_per_s` is the per-frame animation analog of the
+        reference's time-rotating model matrix (update_uniform_buffer,
+        src/vulkan/graphical_environment_vulkan.cpp:374-391, which spins the
+        scene at 90 deg/s of wall-clock time): the camera orbits `lookat`
+        about `vup` at that rate, so successive frames view the scene from a
+        rotating angle. Set 90.0 to match the reference's rate. The orbit
+        only changes traced camera arrays (CameraDerived), so animated
+        frames reuse the compiled pipeline — no per-frame re-jit."""
         self.settings = settings or RenderSettings()
+        self.animate_deg_per_s = animate_deg_per_s
+        self._anim_start: float | None = None
         self.camera = camera or Camera(
             aspect_ratio=self.settings.width / self.settings.height,
             image_width=self.settings.width,
@@ -201,7 +237,14 @@ class RendererSession:
         if self._texture is not None:
             # u8 -> linear radiance (invert the sqrt gamma of src/color.h:9-12)
             sky = (jnp.asarray(self._texture, jnp.float32) / 255.0) ** 2
-        img = render(self.scene(), self.camera, key, self.settings, sky_texture=sky)
+        cam = self.camera
+        if self.animate_deg_per_s:
+            now = _time.monotonic()
+            if self._anim_start is None:
+                self._anim_start = now
+            angle = (now - self._anim_start) * self.animate_deg_per_s
+            cam = orbit_camera(cam, angle)
+        img = render(self.scene(), cam, key, self.settings, sky_texture=sky)
         self._inflight.append(img)
         self._frame_index += 1
         while len(self._inflight) > self.settings.max_frames_in_flight:

@@ -5,7 +5,7 @@ on the cover scene's primary rays. Variants:
 
   full      — current design: 13 scalar loads + 11 selects per sphere
   slim      — track best_t + best_index only: 7 loads + 2 selects
-  full_u4   — full, sphere loop unrolled x4
+  full_u4   — full, sphere loop unrolled x4, x8
   slim_u4   — slim, unrolled x4
 
 Usage: python tools/kexp.py [n_spheres]
@@ -72,7 +72,7 @@ def _kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
     shape = (SUB, LANES)
 
     slim = variant.startswith("slim")
-    unroll = 4 if variant.endswith("u4") else 1
+    unroll = 8 if variant.endswith("u8") else (4 if variant.endswith("u4") else 1)
 
     if slim:
         init = (jnp.full(shape, T_MAX, jnp.float32), jnp.zeros(shape, jnp.float32))
@@ -142,7 +142,7 @@ def main() -> None:
 
         return one_pass
 
-    for variant in ("full", "slim", "full_u4", "slim_u4"):
+    for variant in ("full_u4", "full_u8", "slim_u8"):
         sec, _ = marginal_seconds_per_pass(make_pass(variant), k1=8, k2=24, reps=3)
         per_sphere_ns = sec / (r_pad / TILE) / n * 1e9
         print(f"{variant:8s}: {rays / sec / 1e6:7.2f} Mrays/s  "
