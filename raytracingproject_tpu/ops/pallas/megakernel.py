@@ -145,16 +145,17 @@ def _hit_init(shape):
             zeros, jnp.ones(shape, jnp.float32), zeros)
 
 
-UNROLL = 4
+UNROLL = 8
 
 
 def _closest_hit_brute(sph_ref, rays, t_min, n_spheres, shape):
     """Linear scan (src/hittable_list.h:25-39): every sphere vs every lane.
 
-    Unrolled x4: Mosaic does not software-pipeline fori_loop bodies, so the
+    Unrolled x8: Mosaic does not software-pipeline fori_loop bodies, so the
     rolled loop serializes each sphere's 13 scalar SMEM loads against its
-    ~25 VPU ops; unrolling lets 4 spheres' loads and quadratics overlap
-    (measured 2.1x on the isolated kernel, tools/kexp.py)."""
+    ~25 VPU ops; unrolling lets 8 spheres' loads and quadratics overlap
+    (measured on the isolated kernel, tools/kexp.py: 54 Mrays/s rolled,
+    114 at x4, 138 at x8)."""
     n_main = (n_spheres // UNROLL) * UNROLL
 
     def body(q, hc):
