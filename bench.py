@@ -58,11 +58,22 @@ def main() -> None:
     )
     cam = camera.derive()
 
-    # The full-path Pallas megakernel is the fastest forward path on TPU
-    # (whole bounce loop in one kernel, scene in SMEM, hardware PRNG); fall
-    # back to the XLA megakernel off-TPU (CPU smoke runs).
+    # The full-path Pallas megakernel with front-culled closest hit is the
+    # fastest forward path on TPU (whole bounce loop in one kernel, scene in
+    # SMEM, hardware PRNG, BVH-front subtree culling with one scalar sync per
+    # 24 subtrees — 12.6 vs 7.7 Mrays/s brute, tools/bench_front_full.py);
+    # fall back to the XLA megakernel off-TPU (CPU smoke runs).
     on_tpu = jax.devices()[0].platform == "tpu"
-    path = "pallas_megakernel" if on_tpu else "xla_early_exit"
+    path = "pallas_megakernel_front" if on_tpu else "xla_early_exit"
+
+    front = None
+    if on_tpu:
+        from raytracingproject_tpu.bvh import build_bvh, reorder_scene
+        from raytracingproject_tpu.ops.pallas.megakernel import front_tables
+
+        bvh = build_bvh(scene, leaf_size=8)
+        scene = reorder_scene(scene, bvh)
+        front = front_tables(scene, bvh)
 
     def one_pass(key):
         return render_pass(
@@ -73,6 +84,7 @@ def main() -> None:
             height=HEIGHT,
             max_depth=MAX_DEPTH,
             spp_chunk=SPP_CHUNK,
+            front=front,
             early_exit=not on_tpu,
             use_megakernel=on_tpu,
         )

@@ -63,14 +63,17 @@ def _render_flat(
     spp_local: int,
     use_megakernel: bool = False,
     interpret: bool = False,
+    front=None,
 ) -> jnp.ndarray:
     """Radiance sum over `spp_local` samples for a flat pixel batch [P].
     Samples loop via lax.scan to keep the live set at one wavefront.
 
     `use_megakernel` runs each shard's rays through the Pallas megakernel
     (the fast forward path composed WITH sharding — round-1 VERDICT #5);
-    `interpret` lowers it through the TPU interpreter so the same sharded
-    program executes on the virtual CPU mesh (dryrun/test lane)."""
+    `front` (megakernel.FrontTables, replicated like the scene) additionally
+    enables the front-culled closest hit inside it; `interpret` lowers it
+    through the TPU interpreter so the same sharded program executes on the
+    virtual CPU mesh (dryrun/test lane)."""
 
     def sample_pass(acc, k):
         k_ray, k_path = jax.random.split(k)
@@ -81,7 +84,7 @@ def _render_flat(
             seed = jax.random.randint(k_path, (), 0, 2**31 - 1, dtype=jnp.int32)
             rad = pallas_trace_paths(
                 origin, direction, time, scene, seed, max_depth,
-                interpret=interpret,
+                interpret=interpret, front=front,
             )
         else:
             rad = ray_color(scene, origin, direction, time, k_path, max_depth)

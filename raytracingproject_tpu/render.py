@@ -198,6 +198,7 @@ def render_pass(
     max_depth: int,
     spp_chunk: int = 1,
     bvh=None,
+    front=None,
     early_exit: bool = False,
     use_pallas: bool = False,
     use_megakernel: bool = False,
@@ -232,11 +233,13 @@ def render_pass(
         from raytracingproject_tpu.ops.pallas.megakernel import pallas_trace_paths
 
         seed = jax.random.randint(k_path, (), 0, 2**31 - 1, dtype=jnp.int32)
-        # With a BVH, closest-hit inside the kernel is the tile-uniform
-        # traversal (scene must already be in leaf order — render() below
-        # reorders when settings.use_bvh is set).
+        # With `front` (the default when settings.use_bvh is on), closest-hit
+        # is the front-culled scan — the fastest acceleration path measured.
+        # With `bvh`, it is the tile-uniform traversal. Either way the scene
+        # must already be in leaf order (render() below reorders).
         rad = pallas_trace_paths(
-            origin, direction, time, scene, seed, max_depth, bvh=bvh
+            origin, direction, time, scene, seed, max_depth, bvh=bvh,
+            front=front,
         )
     else:
         rad = ray_color(
@@ -277,14 +280,24 @@ def render(
     spp = camera.samples_per_pixel
 
     bvh = None
+    front = None
     if settings.use_bvh:
         from raytracingproject_tpu.bvh import build_bvh, reorder_scene
 
         leaf = settings.bvh_leaf_size
-        if settings.use_megakernel and leaf < 8:
-            leaf = 8  # tile-uniform traversal amortizes nodes over 1024 rays
+        if use_megakernel and leaf < 8:
+            leaf = 8  # front subtrees amortize culling over 1024-ray tiles
         bvh = build_bvh(scene, leaf_size=leaf)
         scene = reorder_scene(scene, bvh)
+        if use_megakernel:
+            # The front-culled scan beats both brute force and the
+            # tile-uniform traversal on TPU (megakernel.py:_closest_hit_front
+            # docstring has the numbers); the megakernel takes it instead of
+            # the node-walking BVH.
+            from raytracingproject_tpu.ops.pallas.megakernel import front_tables
+
+            front = front_tables(scene, bvh)
+            bvh = None
 
     pixels = width * height
     spp_chunk = max(1, min(spp, settings.rays_per_batch // max(pixels, 1)))
@@ -304,6 +317,7 @@ def render(
             max_depth=camera.max_depth,
             spp_chunk=chunk,
             bvh=bvh,
+            front=front,
             early_exit=True,
             use_pallas=settings.use_pallas,
             use_megakernel=use_megakernel,

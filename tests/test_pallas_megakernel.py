@@ -105,6 +105,71 @@ def test_megakernel_bvh_depth1_exact():
     np.testing.assert_allclose(pk_bvh, xk, atol=5e-5)
 
 
+def test_megakernel_front_depth1_exact():
+    """Front-culled closest hit vs brute megakernel vs XLA, depth-1
+    (RNG-free), interpret mode. The front path tests the same spheres in the
+    same leaf order within uncullled subtrees (padding repeats are no-ops
+    under the strict `<` update), so radiance must match brute to float
+    tolerance."""
+    from raytracingproject_tpu.bvh import build_bvh, reorder_scene
+    from raytracingproject_tpu.ops.pallas.megakernel import front_tables
+
+    scene = make_three_sphere_scene()
+    bvh = build_bvh(scene, leaf_size=2)
+    rscene = reorder_scene(scene, bvh)
+    front = front_tables(rscene, bvh)
+    cam = Camera(
+        aspect_ratio=16.0 / 9.0,
+        image_width=64,
+        samples_per_pixel=1,
+        max_depth=8,
+        vfov=90.0,
+        lookfrom=(0.0, 0.0, 0.0),
+        lookat=(0.0, 0.0, -1.0),
+        defocus_angle=0.0,
+        focus_dist=1.0,
+    )
+    R = 1024
+    o, d, t = gen(cam, R, jax.random.PRNGKey(4))
+
+    pk_front = np.asarray(
+        pallas_trace_paths(o, d, t, rscene, jnp.int32(7), max_depth=1,
+                           interpret=True, front=front)
+    )
+    pk_brute = np.asarray(
+        pallas_trace_paths(o, d, t, scene, jnp.int32(7), max_depth=1, interpret=True)
+    )
+    xk = np.asarray(ray_color(scene, o, d, t, jax.random.PRNGKey(3), max_depth=1))
+    assert np.isfinite(pk_front).all()
+    np.testing.assert_allclose(pk_front, pk_brute, atol=5e-6)
+    np.testing.assert_allclose(pk_front, xk, atol=5e-5)
+
+
+def test_front_tables_idempotent_padding():
+    """front_tables pads each subtree's range to an UNROLL multiple by
+    repeating the last sphere; every padded column must equal the subtree's
+    last real column, and starts must be contiguous."""
+    from raytracingproject_tpu.bvh import build_bvh, reorder_scene
+    from raytracingproject_tpu.ops.pallas.megakernel import UNROLL, front_tables
+    from raytracingproject_tpu.scene import make_random_scene
+
+    scene = make_random_scene(100, seed=1)
+    bvh = build_bvh(scene, leaf_size=8)
+    rscene = reorder_scene(scene, bvh)
+    front = front_tables(rscene, bvh)
+    sph = np.asarray(front.sph)
+    fi = np.asarray(front.fi)
+    pos = 0
+    for k in range(fi.shape[1]):
+        start, count = int(fi[0, k]), int(fi[1, k])
+        if count == 0:
+            continue
+        assert start == pos
+        assert count % UNROLL == 0
+        pos += count
+    assert pos == sph.shape[1]
+
+
 def test_megakernel_deterministic_given_seed():
     scene = make_three_sphere_scene()
     R = 1024

@@ -97,6 +97,28 @@ def test_compiled_megakernel_bvh_matches_brute(scene, cover_rays):
     assert frac_differ < 5e-3, f"{frac_differ:.2%} of rays differ"
 
 
+def test_compiled_megakernel_front_matches_brute(scene, cover_rays):
+    """Front-culled vs brute megakernel with the same seed: identical RNG
+    stream and identical sphere tests in the same order (culled subtrees
+    cannot contain the winner; padding repeats are no-ops), so radiance must
+    agree to float tolerance on effectively all rays."""
+    from raytracingproject_tpu.ops.pallas.megakernel import (
+        front_tables, pallas_trace_paths,
+    )
+
+    o, d, t = cover_rays
+    bvh = build_bvh(scene, leaf_size=8)
+    rscene = reorder_scene(scene, bvh)
+    front = front_tables(rscene, bvh)
+    r_brute = np.asarray(pallas_trace_paths(o, d, t, scene, jnp.int32(7), DEPTH))
+    r_front = np.asarray(
+        pallas_trace_paths(o, d, t, rscene, jnp.int32(7), DEPTH, front=front)
+    )
+    assert np.isfinite(r_front).all()
+    frac_differ = float((np.abs(r_brute - r_front).max(axis=-1) > 1e-3).mean())
+    assert frac_differ < 5e-3, f"{frac_differ:.2%} of rays differ"
+
+
 def test_compiled_pallas_closest_hit_matches_xla(scene, cover_rays):
     """Compiled Pallas closest-hit vs the XLA oracle. Not bitwise: the
     kernel's elementwise quadratic and XLA's einsum differ by ~1 ulp, which

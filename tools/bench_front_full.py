@@ -1,0 +1,85 @@
+"""Full-path megakernel: brute vs front-culled closest hit, device-true.
+
+Measures pallas_trace_paths (the whole bounce loop, depth 16) on the cover
+scene (~488 spheres) and a 5000-sphere random scene, with the honest
+scan-marginal host-fetch methodology (tools/measure.py).
+
+Usage: python tools/bench_front_full.py [n_extra_spheres ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from raytracingproject_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from raytracingproject_tpu.bvh import build_bvh, reorder_scene
+from raytracingproject_tpu.camera import Camera, generate_rays
+from raytracingproject_tpu.ops.pallas.megakernel import (
+    default_front_nodes, front_tables, pallas_trace_paths,
+)
+from raytracingproject_tpu.scene import make_cover_scene, make_random_scene
+from tools.measure import marginal_seconds_per_pass
+
+W, H, DEPTH = 400, 225, 16
+
+
+def bench_scene(scene, tag: str, fronts=(None,)) -> None:
+    n = int(scene.radius.shape[0])
+    cam = Camera(
+        aspect_ratio=16 / 9, image_width=W, samples_per_pixel=1, max_depth=DEPTH,
+        vfov=20.0, lookfrom=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0),
+        defocus_angle=0.6, focus_dist=10.0,
+    ).derive()
+    jj, ii = jnp.meshgrid(jnp.arange(H, dtype=jnp.int32),
+                          jnp.arange(W, dtype=jnp.int32), indexing="ij")
+    i_idx, j_idx = ii.reshape(-1), jj.reshape(-1)
+    rays = W * H
+
+    bvh = build_bvh(scene, leaf_size=8)
+    rscene = reorder_scene(scene, bvh)
+
+    def make_brute(key):
+        o, d, t = generate_rays(cam, i_idx, j_idx, key)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        return pallas_trace_paths(o, d, t, rscene, seed, DEPTH)
+
+    sec, _ = marginal_seconds_per_pass(make_brute, k1=4, k2=12, reps=3)
+    brute = rays / sec
+    print(json.dumps({"scene": tag, "n": n, "path": "brute",
+                      "mrays_per_s": round(brute / 1e6, 2)}), flush=True)
+
+    for f in fronts:
+        fn = default_front_nodes(n) if f is None else f
+        front = front_tables(rscene, bvh, max_nodes=fn)
+
+        def make_front(key, front=front):
+            o, d, t = generate_rays(cam, i_idx, j_idx, key)
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+            return pallas_trace_paths(o, d, t, rscene, seed, DEPTH, front=front)
+
+        sec, _ = marginal_seconds_per_pass(make_front, k1=4, k2=12, reps=3)
+        fr = rays / sec
+        print(json.dumps({"scene": tag, "n": n, "path": f"front_{fn}",
+                          "mrays_per_s": round(fr / 1e6, 2),
+                          "vs_brute": round(fr / brute, 2)}), flush=True)
+
+
+def main() -> None:
+    extras = [int(a) for a in sys.argv[1:]] or [0, 5000]
+    for ne in extras:
+        if ne == 0:
+            bench_scene(make_cover_scene(seed=0), "cover488", fronts=(None, 48))
+        else:
+            bench_scene(make_random_scene(ne, seed=3), f"random{ne}",
+                        fronts=(None, 192, 240))
+
+
+if __name__ == "__main__":
+    main()
