@@ -262,83 +262,143 @@ def _row_weights():
     return (jnp.int32(1) << r).astype(jnp.float32)
 
 
-def _closest_hit_front(sph_ref, ff_ref, fi_ref, rays, t_min, n_front, shape):
-    """Front-culled closest hit: ONE scalar sync per 24 subtrees per bounce.
+def _slab_factory(box_ref, rays, t_min, bt=None):
+    """any-lane slab test against column `f` of an (8, F) SMEM box table
+    (rows 0-2 = min xyz, 3-5 = max xyz): returns (sub, lanes) 1.0/0.0.
 
-    The tile-uniform traversal (_closest_hit_bvh) pays a vector->scalar
-    `any()` sync (~460 cycles measured) at EVERY node, which outweighs its
-    O(log N) visit savings. Here the BVH is cut into a fixed front of F
-    subtrees (bvh.bvh_front), each owning a contiguous sphere range:
-
-    1. slab-test all F boxes vectorized per lane (no syncs);
-    2. per subtree, collapse sublanes with a max -> (1,128); stack 8
-       subtrees -> (8,128); one MXU matmul against ones(128,128) yields
-       per-subtree lane counts broadcast across lanes;
-    3. weight row r of group g by 2^(8g+r) and sum over sublanes: every
-       lane of a (1,128) tile holds the same 24-bit word — exact in f32
-       (each row spans <=17 mantissa bits, the cross-row sum <=24);
-       extract it with a single jnp.max sync;
-    4. scalar-loop the 24 bits: subtrees no lane entered are skipped with a
-       0-trip loop; hit subtrees run the exact unrolled sphere test on
-       their contiguous SMEM rows (ranges pre-padded to UNROLL by
-       repeating their last sphere — idempotent under strict < updates).
-
-    Radiance is bit-identical to the brute scan (same tests, same order
-    within subtrees; culled subtrees cannot contain the winner). Measured
-    isolated (tools/kfront.py): 269 vs 111 Mrays/s at 488 spheres, 53 vs 15
-    at 5000."""
-    ox, oy, oz, dx, dy, dz, tm, a, inv_a = rays
+    With `bt` (per-lane current best hit t), the far plane is clamped to it:
+    a lane only "enters" a box within its open (t_min, best_t) interval —
+    the same per-lane tightening the tile-uniform traversal uses
+    (_closest_hit_bvh seek_body). Exactness-preserving: a box entered only
+    at t >= best_t cannot contain a strictly closer hit."""
+    ox, oy, oz, dx, dy, dz, *_ = rays
     inv_dx = 1.0 / jnp.where(jnp.abs(dx) > 1e-20, dx, 1e-20)
     inv_dy = 1.0 / jnp.where(jnp.abs(dy) > 1e-20, dy, 1e-20)
     inv_dz = 1.0 / jnp.where(jnp.abs(dz) > 1e-20, dz, 1e-20)
 
     def slab(f):
-        t0 = (ff_ref[0, f] - ox) * inv_dx
-        t1 = (ff_ref[3, f] - ox) * inv_dx
+        t0 = (box_ref[0, f] - ox) * inv_dx
+        t1 = (box_ref[3, f] - ox) * inv_dx
         tn = jnp.minimum(t0, t1)
         tf = jnp.maximum(t0, t1)
-        t0 = (ff_ref[1, f] - oy) * inv_dy
-        t1 = (ff_ref[4, f] - oy) * inv_dy
+        t0 = (box_ref[1, f] - oy) * inv_dy
+        t1 = (box_ref[4, f] - oy) * inv_dy
         tn = jnp.maximum(tn, jnp.minimum(t0, t1))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        t0 = (ff_ref[2, f] - oz) * inv_dz
-        t1 = (ff_ref[5, f] - oz) * inv_dz
+        t0 = (box_ref[2, f] - oz) * inv_dz
+        t1 = (box_ref[5, f] - oz) * inv_dz
         tn = jnp.maximum(tn, jnp.maximum(jnp.minimum(t0, t1), t_min))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        if bt is not None:
+            tf = jnp.minimum(tf, bt)
         return jnp.where(tf > tn, 1.0, 0.0)
 
+    return slab
+
+
+def _pack_any_bits(slab, n: int, base: int = 0):
+    """Pack "any lane hit box base+k" bits for k in [0, n), n <= WORD, into
+    ONE int32 scalar with a single vector->scalar sync.
+
+    Per group of 8 boxes: collapse sublanes with a max -> (1,128) each,
+    stack -> (8,128), one MXU matmul against ones(128,128) broadcasts the
+    per-box lane count across lanes; weight row r of group g by 2^(8g+r)
+    and sum over sublanes — every lane of the (1,128) result holds the same
+    <=24-bit word, exact in f32 (each row spans <=17 mantissa bits, the
+    cross-row sum <=24). One jnp.max extracts it."""
     ones = jnp.ones((LANES, LANES), jnp.float32)
     wrow = _row_weights()
+    acc = None
+    for g in range(0, n, SUB):
+        cnt = min(SUB, n - g)
+        rows = [
+            jnp.max(slab(base + g + r), axis=0, keepdims=True) for r in range(cnt)
+        ]
+        if cnt < SUB:
+            rows += [jnp.zeros((1, LANES), jnp.float32)] * (SUB - cnt)
+        grp = jnp.concatenate(rows, axis=0)
+        counts = jax.lax.dot(grp, ones, preferred_element_type=jnp.float32)
+        bits = jnp.where(counts > 0.0, wrow * float(1 << g), 0.0)
+        acc = bits if acc is None else acc + bits
+    word_tile = jnp.sum(acc, axis=0, keepdims=True)
+    return jnp.max(word_tile).astype(jnp.int32)  # the one sync
+
+
+def _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, live_ref, rays,
+                       t_min, n_front, shape):
+    """Two-level front-culled closest hit: >= ONE scalar sync per bounce,
+    at most one per 24 subtrees.
+
+    The tile-uniform traversal (_closest_hit_bvh) pays a vector->scalar
+    `any()` sync (~460 cycles measured) at EVERY node, which outweighs its
+    O(log N) visit savings. Here the BVH is cut into a fixed front of F
+    subtrees (bvh.bvh_front), each owning a contiguous sphere range, and
+    the subtrees are grouped into words of 24:
+
+    - level 0 (only when F > 24): slab-test each word's union box
+      (wf_ref), pack the any-bits into one scalar word (_pack_any_bits, one
+      sync); words no lane enters skip their level-1 work entirely via
+      lax.cond — no slab tests, no MXU pack, no sync, no scalar loop;
+    - level 1: per live word, slab-test its 24 subtree boxes and pack (one
+      sync); a scalar-only loop compacts the set bits' (start, count)
+      ranges into SMEM scratch (`live_ref`) — the loop that touches every
+      bit carries ONE scalar, not the 12-tensor hit state (a full-carry
+      loop over all F subtrees costs more than the culling saves: vector
+      carries cross every iteration boundary even for 0-trip bodies);
+    - only the ~live subtrees then run the exact unrolled sphere test on
+      their contiguous SMEM rows (ranges pre-padded to UNROLL by repeating
+      their last sphere — idempotent under strict < updates).
+
+    Level-1 slab tests clamp their far plane to the per-lane best_t carried
+    from the words already processed (see _slab_factory): in dense scenes
+    the first hits shrink best_t to ~the nearest surface, and later words'
+    subtrees cull against it.
+
+    Radiance is bit-identical to the brute scan (same tests, same order
+    within subtrees; culled subtrees cannot contain the winner)."""
+    slab_w = _slab_factory(wf_ref, rays, t_min)
+    n_words = n_front // WORD
 
     hc = _hit_init(shape)
-    for w in range(n_front // WORD):
-        acc = None
-        for g in range(WORD // SUB):
-            base = w * WORD + g * SUB
-            rows = [
-                jnp.max(slab(base + r), axis=0, keepdims=True) for r in range(SUB)
-            ]
-            grp = jnp.concatenate(rows, axis=0)
-            counts = jax.lax.dot(grp, ones, preferred_element_type=jnp.float32)
-            bits = jnp.where(counts > 0.0, wrow * float(1 << (SUB * g)), 0.0)
-            acc = bits if acc is None else acc + bits
-        word_tile = jnp.sum(acc, axis=0, keepdims=True)
-        word = jnp.max(word_tile).astype(jnp.int32)  # the one sync
+    wword = _pack_any_bits(slab_w, n_words) if n_words > 1 else None
 
-        def sub_body(f, h, w=w, word=word):
-            bit = jax.lax.shift_right_logical(word, f - w * WORD) & 1
-            cnt = jnp.where(bit > 0, fi_ref[1, f], 0)
-            start = fi_ref[0, f]
+    for w in range(n_words):
 
-            def inner(q, hh):
-                base_s = start + q * UNROLL
-                for u in range(UNROLL):
-                    hh = _sphere_test(sph_ref, base_s + u, rays, hh, t_min)
-                return hh
+        def process(h, w=w):
+            slab_f = _slab_factory(ff_ref, rays, t_min, bt=h[0])
+            word = _pack_any_bits(slab_f, WORD, base=w * WORD)
 
-            return jax.lax.fori_loop(0, cnt // UNROLL, inner, h)
+            def extract(k, c, w=w, word=word):
+                bit = jax.lax.shift_right_logical(word, k) & 1
 
-        hc = jax.lax.fori_loop(w * WORD, (w + 1) * WORD, sub_body, hc)
+                @pl.when(bit > 0)
+                def _():
+                    live_ref[0, c] = fi_ref[0, w * WORD + k]
+                    live_ref[1, c] = fi_ref[1, w * WORD + k]
+
+                return c + bit
+
+            n_live = jax.lax.fori_loop(0, WORD, extract, jnp.int32(0))
+
+            def live_body(l, hh):
+                start = live_ref[0, l]
+                cnt = live_ref[1, l]
+
+                def inner(q, hhh):
+                    base_s = start + q * UNROLL
+                    for u in range(UNROLL):
+                        hhh = _sphere_test(sph_ref, base_s + u, rays, hhh, t_min)
+                    return hhh
+
+                return jax.lax.fori_loop(0, cnt // UNROLL, inner, hh)
+
+            return jax.lax.fori_loop(0, n_live, live_body, h)
+
+        if wword is None:
+            hc = process(hc)
+        else:
+            live = jax.lax.shift_right_logical(wword, w) & 1
+            hc = jax.lax.cond(live > 0, process, lambda h: h, hc)
     return hc
 
 
@@ -556,13 +616,15 @@ def _megakernel_front(
     sph_ref,   # SMEM (N_ROWS, Np) — front-padded table (front_tables)
     ff_ref,    # SMEM (8, F) float32 subtree boxes (min xyz, max xyz, 0, 0)
     fi_ref,    # SMEM (2, F) int32 (start, padded count)
+    wf_ref,    # SMEM (8, F//WORD) float32 word-level union boxes
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
     rr_ref, rg_ref, rb_ref,
+    live_ref,  # SMEM (2, WORD) int32 scratch — compacted live (start, count)
     *, n_front: int, max_depth: int, t_min: float,
 ):
     def hit(rays, shape):
-        return _closest_hit_front(sph_ref, ff_ref, fi_ref, rays, t_min,
-                                  n_front, shape)
+        return _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, live_ref,
+                                  rays, t_min, n_front, shape)
 
     _bounce_loop(seed_ref, hit, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                  dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
@@ -573,13 +635,15 @@ class FrontTables:
     """Device tables for the front-culled megakernel (see
     _closest_hit_front). Built once per scene by `front_tables`."""
 
-    def __init__(self, sph: jnp.ndarray, ff: jnp.ndarray, fi: jnp.ndarray):
+    def __init__(self, sph: jnp.ndarray, ff: jnp.ndarray, fi: jnp.ndarray,
+                 wf: jnp.ndarray):
         self.sph = sph  # (N_ROWS, Np) front-padded sphere table
         self.ff = ff    # (8, F) f32 subtree boxes
         self.fi = fi    # (2, F) i32 (start, count)
+        self.wf = wf    # (8, F//WORD) f32 word-level union boxes
 
     def tree_flatten(self):
-        return (self.sph, self.ff, self.fi), None
+        return (self.sph, self.ff, self.fi, self.wf), None
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -594,11 +658,11 @@ jax.tree_util.register_pytree_node(
 
 
 def default_front_nodes(n_spheres: int) -> int:
-    """Front size: ~20 spheres per subtree, in WORD multiples, capped where
-    the measured sweep flattened (488 spheres: F=24 > F=48; 5000: F=96 best
-    of 48/96/144/192 — tools/kfront.py)."""
-    f = max(1, round(n_spheres / 20 / WORD)) * WORD
-    return min(max(f, WORD), 96)
+    """Front size: ~26 spheres per subtree, in WORD multiples, capped where
+    the measured full-path sweep flattened (488 spheres: F=24 > F=48;
+    5000: F=192 best of 96/192/240 — tools/bench_front_full.py)."""
+    f = max(1, round(n_spheres / 26 / WORD)) * WORD
+    return min(max(f, WORD), 192)
 
 
 def front_tables(scene: Scene, bvh, max_nodes: int | None = None) -> FrontTables:
@@ -614,6 +678,7 @@ def front_tables(scene: Scene, bvh, max_nodes: int | None = None) -> FrontTables
 
     if max_nodes is None:
         max_nodes = default_front_nodes(int(scene.radius.shape[0]))
+    max_nodes = ((max_nodes + WORD - 1) // WORD) * WORD
     fr = bvh_front(bvh, max_nodes=max_nodes)
     sph = np.asarray(_scene_table(scene))
 
@@ -640,7 +705,23 @@ def front_tables(scene: Scene, bvh, max_nodes: int | None = None) -> FrontTables
     ff[0:3] = fr.fmin.T
     ff[3:6] = fr.fmax.T
     fi = np.stack([new_start, new_count]).astype(np.int32)
-    return FrontTables(jnp.asarray(sph_pad), jnp.asarray(ff), jnp.asarray(fi))
+    # Word-level union boxes (level-0 cull): one AABB per 24-subtree word,
+    # unioned over REAL subtrees only (padding entries sit at 1e30 and would
+    # blow the union up); all-padding words get the same degenerate 1e30
+    # point, which the strict tf > tn slab test always misses.
+    n_words = fr.fmin.shape[0] // WORD
+    wf = np.full((8, n_words), 0.0, np.float32)
+    for wd in range(n_words):
+        sl = slice(wd * WORD, (wd + 1) * WORD)
+        real = fr.count[sl] > 0
+        if real.any():
+            wf[0:3, wd] = fr.fmin[sl][real].min(axis=0)
+            wf[3:6, wd] = fr.fmax[sl][real].max(axis=0)
+        else:
+            wf[0:6, wd] = 1e30
+    return FrontTables(
+        jnp.asarray(sph_pad), jnp.asarray(ff), jnp.asarray(fi), jnp.asarray(wf)
+    )
 
 
 def _pad_flat(x, total):
@@ -704,6 +785,7 @@ def pallas_trace_paths(
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
 
+    scratch_shapes = []
     if front is not None:
         n_front = front.ff.shape[1]
         kernel = functools.partial(
@@ -712,11 +794,13 @@ def pallas_trace_paths(
         in_specs = [
             smem((1, 1)), smem(front.sph.shape),
             smem((8, n_front)), smem((2, n_front)),
+            smem(front.wf.shape),
         ]
         args = (
             jnp.asarray(seed, jnp.int32).reshape(1, 1),
-            front.sph, front.ff, front.fi,
+            front.sph, front.ff, front.fi, front.wf,
         )
+        scratch_shapes = [pltpu.SMEM((2, WORD), jnp.int32)]
     elif bvh is None:
         kernel = functools.partial(
             _megakernel, n_spheres=n, max_depth=max_depth, t_min=t_min
@@ -742,6 +826,7 @@ def pallas_trace_paths(
         in_specs=in_specs + [ray_spec] * 7,
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((tiles * SUB, LANES), jnp.float32)] * 3,
+        scratch_shapes=scratch_shapes,
         # TPU interpret params (not plain interpret=True): the hardware PRNG
         # primitives only have lowering rules in the TPU interpreter.
         interpret=(pltpu.InterpretParams() if interpret else False),

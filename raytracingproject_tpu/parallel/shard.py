@@ -103,6 +103,7 @@ def render_sharded(
     mesh: Mesh,
     spp: int | None = None,
     use_megakernel: bool = False,
+    front=None,
 ) -> jnp.ndarray:
     """Distributed render: mean radiance [H, W, 3].
 
@@ -127,22 +128,22 @@ def render_sharded(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P("rays"), P("rays"), P()),
+        in_specs=(P(), P(), P("rays"), P("rays"), P(), P()),
         out_specs=P("rays", None),
         check_vma=False,
     )
-    def shard_fn(scene, cam, i_loc, j_loc, key):
+    def shard_fn(scene, cam, i_loc, j_loc, key, front):
         ray_id = jax.lax.axis_index("rays")
         s_id = jax.lax.axis_index("samples")
         k = jax.random.fold_in(jax.random.fold_in(key, ray_id), s_id)
         acc = _render_flat(
             scene, cam, i_loc, j_loc, k, max_depth=max_depth,
             spp_local=spp_local, use_megakernel=use_megakernel,
-            interpret=interpret,
+            interpret=interpret, front=front,
         )
         return jax.lax.psum(acc, "samples")
 
-    flat = shard_fn(scene, cam, i, j, key)
+    flat = shard_fn(scene, cam, i, j, key, front)
     return flat[: width * height].reshape(height, width, 3) / spp
 
 

@@ -9,7 +9,7 @@ kernels (ops/pallas/) are the speed path and are validated against this.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -181,6 +181,46 @@ def ray_color(
     return state.radiance
 
 
+@lru_cache(maxsize=None)
+def _block_order(width: int, height: int, spp: int = 1, tile: int = 1024):
+    """(slot_pix, gather): ray ordering that feeds the Pallas megakernel in
+    compact screen blocks.
+
+    The kernel processes rays in consecutive `tile`-ray (1024) chunks; in
+    row-major order a chunk spans 2.5 image rows, so its rays fan across
+    the whole width and touch many BVH-front subtrees. Here rays are
+    ordered block-by-block — all `spp` samples of one bxb pixel block
+    consecutively — with b chosen so one block's rays fill about one tile
+    (32x32 for spp 1, 16x16 for spp 4): a chunk's spatial footprint is one
+    small screen block and the front culling skips far more subtrees.
+
+    `slot_pix[r]` is the row-major pixel id ray slot r renders (padded to a
+    `tile` multiple with pixel 0, dropped on unpermute); `gather[s, p]` is
+    the slot of (sample s, pixel p), so `rad[gather]` restores [spp, H*W]
+    row-major order."""
+    import numpy as np
+
+    b = 32
+    while b > 8 and b * b * spp > tile:
+        b //= 2
+    idx = np.arange(width * height, dtype=np.int64).reshape(height, width)
+    slots = []
+    gather = np.empty((spp, width * height), np.int64)
+    pos = 0
+    for by in range(0, height, b):
+        for bx in range(0, width, b):
+            blk = idx[by : by + b, bx : bx + b].reshape(-1)
+            for s in range(spp):
+                gather[s, blk] = pos + np.arange(blk.size)
+                slots.append(blk)
+                pos += blk.size
+    slot_pix = np.concatenate(slots)
+    pad = (-slot_pix.size) % tile
+    if pad:
+        slot_pix = np.concatenate([slot_pix, np.zeros(pad, np.int64)])
+    return slot_pix.astype(np.int32), gather.astype(np.int32)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -218,10 +258,7 @@ def render_pass(
         jnp.arange(width, dtype=jnp.int32),
         indexing="ij",
     )
-    i = jnp.tile(ii.reshape(-1), spp_chunk)
-    j = jnp.tile(jj.reshape(-1), spp_chunk)
     k_ray, k_path = jax.random.split(key)
-    origin, direction, time = generate_rays(cam, i, j, k_ray)
     if use_megakernel:
         if jax.default_backend() != "tpu":
             raise ValueError(
@@ -230,8 +267,20 @@ def render_pass(
                 "use_pallas instead, or run under interpret via "
                 "ops.pallas.megakernel.pallas_trace_paths(interpret=True)"
             )
-        from raytracingproject_tpu.ops.pallas.megakernel import pallas_trace_paths
+        from raytracingproject_tpu.ops.pallas.megakernel import (
+            TILE, pallas_trace_paths,
+        )
 
+        # Feed rays in compact screen blocks (all samples of one block
+        # consecutively) so each 1024-ray kernel tile has a small spatial
+        # footprint — see _block_order. Padding rays re-render pixel (0,0)
+        # and are dropped by the gather.
+        slot_pix, gather = _block_order(width, height, spp_chunk, TILE)
+        flat_i = ii.reshape(-1)
+        flat_j = jj.reshape(-1)
+        i = flat_i[slot_pix]
+        j = flat_j[slot_pix]
+        origin, direction, time = generate_rays(cam, i, j, k_ray)
         seed = jax.random.randint(k_path, (), 0, 2**31 - 1, dtype=jnp.int32)
         # With `front` (the default when settings.use_bvh is on), closest-hit
         # is the front-culled scan — the fastest acceleration path measured.
@@ -241,11 +290,16 @@ def render_pass(
             origin, direction, time, scene, seed, max_depth, bvh=bvh,
             front=front,
         )
-    else:
-        rad = ray_color(
-            scene, origin, direction, time, k_path, max_depth, bvh, early_exit,
-            use_pallas, sky_tex,
-        )
+        rad = rad[jnp.asarray(gather)]  # [spp_chunk, H*W, 3] row-major
+        return rad.sum(axis=0).reshape(height, width, 3)
+
+    i = jnp.tile(ii.reshape(-1), spp_chunk)
+    j = jnp.tile(jj.reshape(-1), spp_chunk)
+    origin, direction, time = generate_rays(cam, i, j, k_ray)
+    rad = ray_color(
+        scene, origin, direction, time, k_path, max_depth, bvh, early_exit,
+        use_pallas, sky_tex,
+    )
     return rad.reshape(spp_chunk, height, width, 3).sum(axis=0)
 
 

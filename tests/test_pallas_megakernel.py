@@ -145,6 +145,44 @@ def test_megakernel_front_depth1_exact():
     np.testing.assert_allclose(pk_front, xk, atol=5e-5)
 
 
+def test_megakernel_front_multiword_depth1_exact():
+    """Two-level front (>1 word of 24 subtrees, word-level cull active) vs
+    brute, depth-1 exact, interpret mode on a 100-sphere scene."""
+    from raytracingproject_tpu.bvh import build_bvh, reorder_scene
+    from raytracingproject_tpu.ops.pallas.megakernel import front_tables
+    from raytracingproject_tpu.scene import make_random_scene
+
+    scene = make_random_scene(100, seed=2)
+    bvh = build_bvh(scene, leaf_size=4)
+    rscene = reorder_scene(scene, bvh)
+    front = front_tables(rscene, bvh, max_nodes=48)
+    assert front.wf.shape == (8, 2)
+    cam = Camera(
+        aspect_ratio=16.0 / 9.0,
+        image_width=64,
+        samples_per_pixel=1,
+        max_depth=8,
+        vfov=20.0,
+        lookfrom=(13.0, 2.0, 3.0),
+        lookat=(0.0, 0.0, 0.0),
+        defocus_angle=0.0,
+        focus_dist=10.0,
+    )
+    R = 1024
+    o, d, t = gen(cam, R, jax.random.PRNGKey(6))
+
+    pk_front = np.asarray(
+        pallas_trace_paths(o, d, t, rscene, jnp.int32(7), max_depth=1,
+                           interpret=True, front=front)
+    )
+    pk_brute = np.asarray(
+        pallas_trace_paths(o, d, t, rscene, jnp.int32(7), max_depth=1,
+                           interpret=True)
+    )
+    assert np.isfinite(pk_front).all()
+    np.testing.assert_allclose(pk_front, pk_brute, atol=5e-6)
+
+
 def test_front_tables_idempotent_padding():
     """front_tables pads each subtree's range to an UNROLL multiple by
     repeating the last sphere; every padded column must equal the subtree's

@@ -67,6 +67,15 @@ def main() -> None:
     cam = camera.derive()
     on_tpu = jax.devices()[0].platform == "tpu"
 
+    front = None
+    if on_tpu:
+        from raytracingproject_tpu.bvh import build_bvh, reorder_scene
+        from raytracingproject_tpu.ops.pallas.megakernel import front_tables
+
+        bvh = build_bvh(scene, leaf_size=8)
+        scene = reorder_scene(scene, bvh)
+        front = front_tables(scene, bvh)
+
     def one_pass(key):
         return render_pass(
             scene,
@@ -77,6 +86,7 @@ def main() -> None:
             max_depth=args.depth,
             spp_chunk=SPP_CHUNK,
             use_megakernel=on_tpu,
+            front=front,
             early_exit=not on_tpu,
         )
 
@@ -116,7 +126,7 @@ def main() -> None:
         "spp": args.spp,
         "max_depth": args.depth,
         "n_spheres": int(scene.radius.shape[0]),
-        "path": "pallas_megakernel" if on_tpu else "xla_early_exit",
+        "path": "pallas_megakernel_front" if on_tpu else "xla_early_exit",
         "rays_per_sec_marginal": round(rays_per_sec, 1),
         "frame_seconds_end_to_end": round(frame_s, 2),
         "rays_per_sec_end_to_end": round(total_rays / frame_s, 1),

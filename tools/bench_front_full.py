@@ -31,24 +31,24 @@ W, H, DEPTH = 400, 225, 16
 
 
 def bench_scene(scene, tag: str, fronts=(None,)) -> None:
+    """Measures the PRODUCTION path (render_pass: block-tiled rays +
+    megakernel) so numbers reflect what render() users get."""
+    from raytracingproject_tpu.render import render_pass
+
     n = int(scene.radius.shape[0])
     cam = Camera(
         aspect_ratio=16 / 9, image_width=W, samples_per_pixel=1, max_depth=DEPTH,
         vfov=20.0, lookfrom=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0),
         defocus_angle=0.6, focus_dist=10.0,
     ).derive()
-    jj, ii = jnp.meshgrid(jnp.arange(H, dtype=jnp.int32),
-                          jnp.arange(W, dtype=jnp.int32), indexing="ij")
-    i_idx, j_idx = ii.reshape(-1), jj.reshape(-1)
     rays = W * H
 
     bvh = build_bvh(scene, leaf_size=8)
     rscene = reorder_scene(scene, bvh)
 
     def make_brute(key):
-        o, d, t = generate_rays(cam, i_idx, j_idx, key)
-        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
-        return pallas_trace_paths(o, d, t, rscene, seed, DEPTH)
+        return render_pass(rscene, cam, key, width=W, height=H,
+                           max_depth=DEPTH, use_megakernel=True)
 
     sec, _ = marginal_seconds_per_pass(make_brute, k1=4, k2=12, reps=3)
     brute = rays / sec
@@ -60,9 +60,9 @@ def bench_scene(scene, tag: str, fronts=(None,)) -> None:
         front = front_tables(rscene, bvh, max_nodes=fn)
 
         def make_front(key, front=front):
-            o, d, t = generate_rays(cam, i_idx, j_idx, key)
-            seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
-            return pallas_trace_paths(o, d, t, rscene, seed, DEPTH, front=front)
+            return render_pass(rscene, cam, key, width=W, height=H,
+                               max_depth=DEPTH, use_megakernel=True,
+                               front=front)
 
         sec, _ = marginal_seconds_per_pass(make_front, k1=4, k2=12, reps=3)
         fr = rays / sec
