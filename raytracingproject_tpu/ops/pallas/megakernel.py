@@ -67,31 +67,24 @@ def _uniform(shape):
     return pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
 
 
-def _normal_pair(shape):
-    """Two independent N(0,1) draws via Box-Muller."""
-    u1 = jnp.maximum(_uniform(shape), 1e-12)
-    u2 = _uniform(shape)
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    th = (2.0 * jnp.pi) * u2
-    return r * jnp.cos(th), r * jnp.sin(th)
-
-
 def _unit_vector(shape):
-    """Uniform directions on S^2 (normalized isotropic Gaussian —
-    distributionally equal to src/vec3.h:137-139)."""
-    gx, gy = _normal_pair(shape)
-    gz, _ = _normal_pair(shape)
-    inv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
-    return gx * inv, gy * inv, gz * inv
+    """Uniform directions on S^2 via the cylinder map (Archimedes): z
+    uniform in [-1,1], azimuth uniform — exactly the distribution of
+    src/vec3.h:137-139, at 2 uniforms + sqrt/cos/sin (the earlier
+    Box-Muller route cost 4 uniforms + 2 log + 2 sqrt + 2 cos + 2 sin +
+    rsqrt per draw; scatter runs this every bounce)."""
+    z = 2.0 * _uniform(shape) - 1.0
+    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    th = (2.0 * jnp.pi) * _uniform(shape)
+    return s * jnp.cos(th), s * jnp.sin(th), z
 
 
-def _in_unit_sphere(shape):
-    """Uniform points in the unit ball (src/vec3.h:129-135 distribution).
-    cbrt has no Mosaic lowering; u^(1/3) = exp(log(u)/3)."""
-    ux, uy, uz = _unit_vector(shape)
+def _ball_radius(shape):
+    """Radius CDF^-1 for uniform-in-ball sampling: u^(1/3) (cbrt has no
+    Mosaic lowering; exp(log(u)/3)). unit_vector * ball_radius is the
+    src/vec3.h:129-135 distribution."""
     u = jnp.maximum(_uniform(shape), 1e-30)
-    r = jnp.exp(jnp.log(u) * (1.0 / 3.0))
-    return ux * r, uy * r, uz * r
+    return jnp.exp(jnp.log(u) * (1.0 / 3.0))
 
 
 def _sphere_test(sph_ref, s, rays, hc, t_min):
@@ -474,12 +467,18 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
         uvx, uvy, uvz = _unit_vector(shape)
         lam_x = nx + uvx; lam_y = ny + uvy; lam_z = nz + uvz
 
-        # metal: reflect(unit_dir) + fuzz * in_unit_sphere
+        # metal: reflect(unit_dir) + fuzz * in_unit_sphere. The ball point
+        # reuses the SAME unit vector scaled by the ball-radius CDF^-1: a
+        # lane is exactly one material, so the lambertian and metal variants
+        # are never both consumed — per-lane draws stay independent across
+        # bounces and the ball point is exactly src/vec3.h:129-135
+        # distributed.
         u_dot_n = udx * nx + udy * ny + udz * nz
         rfl_x = udx - 2.0 * u_dot_n * nx
         rfl_y = udy - 2.0 * u_dot_n * ny
         rfl_z = udz - 2.0 * u_dot_n * nz
-        fx, fy, fz = _in_unit_sphere(shape)
+        br = _ball_radius(shape)
+        fx = uvx * br; fy = uvy * br; fz = uvz * br
         met_x = rfl_x + hfz * fx; met_y = rfl_y + hfz * fy; met_z = rfl_z + hfz * fz
         met_ok = (met_x * nx + met_y * ny + met_z * nz) > 0.0
 
