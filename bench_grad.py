@@ -16,6 +16,7 @@ loss; the marginal cost between two step counts cancels fixed overheads
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -76,6 +77,7 @@ def measure(step, params0, opt0, target) -> tuple[float, float]:
 
 def main() -> None:
     on_tpu = jax.devices()[0].platform == "tpu"
+    artifact: dict = {"backend": jax.devices()[0].platform, "configs": {}}
     for label, scene_fn, cam_kw, width, spp, depth in CONFIGS:
         scene = scene_fn()
         cam = Camera(
@@ -114,12 +116,22 @@ def main() -> None:
                 ),
                 flush=True,
             )
+        entry = {k: round(v, 1) for k, v in results.items()}
         if "fast" in results:
+            entry["fast_over_xla"] = round(results["fast"] / results["xla"], 3)
             print(json.dumps({
                 "metric": f"fast_over_xla_fwd_bwd_speedup_{label}",
-                "value": round(results["fast"] / results["xla"], 3),
+                "value": entry["fast_over_xla"],
                 "unit": "x",
             }), flush=True)
+        artifact["configs"][label] = entry
+
+    # Committed artifact for the driver (VERDICT r2 ask #2/#4): the second
+    # BASELINE metric (fwd+bwd rays/s) recorded per round, not just printed.
+    out = os.environ.get("FWDBWD_ARTIFACT", "FWDBWD_r03.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({"artifact": out}), flush=True)
 
 
 if __name__ == "__main__":

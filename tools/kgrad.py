@@ -1,0 +1,112 @@
+"""Isolate where fwd+bwd time goes on the fast path (cover scene).
+
+Times, with the marginal methodology (tools/measure.py):
+  fwd        — pallas_trace_paths (no residuals), brute + front
+  record     — pallas_trace_record (residual-recording forward)
+  replay_bwd — value_and_grad through replay_radiance with FIXED residuals
+  full       — the custom-VJP fast radiance (record + replay bwd)
+
+Run on the real chip: `python -m tools.kgrad [width] [spp] [depth]`.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from raytracingproject_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from raytracingproject_tpu.camera import Camera, generate_rays
+from raytracingproject_tpu.grad.fast import make_fast_radiance
+from raytracingproject_tpu.grad.inverse import extract_params
+from raytracingproject_tpu.grad.replay import replay_radiance
+from raytracingproject_tpu.ops.pallas.megakernel import (
+    pallas_trace_paths, pallas_trace_record,
+)
+from raytracingproject_tpu.scene import make_cover_scene
+from tools.measure import marginal_seconds_per_pass
+
+
+def main() -> None:
+    width = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    spp = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    depth = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    scene = make_cover_scene(seed=0)
+    cam = Camera(
+        aspect_ratio=16.0 / 9.0, image_width=width, samples_per_pixel=spp,
+        max_depth=depth, vfov=20.0, lookfrom=(13.0, 2.0, 3.0),
+        lookat=(0.0, 0.0, 0.0), defocus_angle=0.6, focus_dist=10.0,
+    )
+    height = cam.image_height
+    camd = cam.derive(jnp.float32)
+    n_rays = width * height * spp
+
+    jj, ii = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.int32), jnp.arange(width, dtype=jnp.int32),
+        indexing="ij",
+    )
+    i_idx = jnp.tile(ii.reshape(-1), spp)
+    j_idx = jnp.tile(jj.reshape(-1), spp)
+
+    def rays_of(key):
+        return generate_rays(camd, i_idx, j_idx, key)
+
+    params = extract_params(scene)
+
+    def p_fwd(key):
+        o, d, t = rays_of(key)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        return pallas_trace_paths(o, d, t, scene, seed, depth)
+
+    def p_record(key):
+        o, d, t = rays_of(key)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        rad, res = pallas_trace_record(o, d, t, scene, seed, depth)
+        return rad.sum() + res.ndir.sum() + res.idx.sum()
+
+    # fixed residuals for the isolated backward
+    o0, d0, t0 = rays_of(jax.random.PRNGKey(7))
+    _, res0 = pallas_trace_record(
+        o0, d0, t0, scene, jnp.int32(123), depth
+    )
+    res0 = jax.tree.map(lambda x: x.block_until_ready(), res0)
+
+    def p_replay_bwd(key):
+        def loss(p):
+            rad = replay_radiance(p, scene, o0, d0, t0, res0)
+            return jnp.mean(rad * jax.random.uniform(key, rad.shape))
+
+        l, g = jax.value_and_grad(loss)(params)
+        return l + sum(jnp.sum(v) for v in jax.tree.leaves(g))
+
+    radiance_fn = make_fast_radiance(scene, depth)
+
+    def p_full(key):
+        o, d, t = rays_of(key)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.float32)
+
+        def loss(p):
+            return jnp.mean(radiance_fn(p, o, d, t, seed))
+
+        l, g = jax.value_and_grad(loss)(params)
+        return l + sum(jnp.sum(v) for v in jax.tree.leaves(g))
+
+    out = {"n_rays": n_rays, "depth": depth}
+    for name, fn in [
+        ("fwd", p_fwd), ("record", p_record),
+        ("replay_bwd", p_replay_bwd), ("full", p_full),
+    ]:
+        sec, _ = marginal_seconds_per_pass(fn)
+        out[name + "_mrays_s"] = round(n_rays / sec / 1e6, 3)
+        out[name + "_ms"] = round(sec * 1e3, 2)
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
