@@ -32,14 +32,18 @@ from raytracingproject_tpu.grad.replay import replay_radiance
 from raytracingproject_tpu.scene import Scene
 
 
-def make_fast_radiance(scene: Scene, max_depth: int, bvh=None,
+def make_fast_radiance(scene: Scene, max_depth: int, bvh=None, front=None,
                        interpret: bool = False):
     """Build radiance_fn(params, origin, direction, time, seed_f32) -> [R,3]
     with the Pallas-forward / replay-backward custom VJP.
 
     `scene` supplies the non-differentiable topology (mat_type, array
-    ordering); if `bvh` is given, `scene` must already be in BVH leaf order
-    (bvh.reorder_scene) and params must be in the same ordering.
+    ordering); if `bvh` or `front` is given, `scene` must already be in BVH
+    leaf order (bvh.reorder_scene) and params must be in the same ordering.
+    `front` (megakernel.FrontTables) runs the front-culled closest hit in
+    both the plain and residual-recording forwards — the fast path for
+    material-only training on large scenes. Like `bvh`, the tables snapshot
+    FIXED geometry: see the module-docstring caveat.
     `seed_f32` is the PRNG seed as float32 (int seeds have no tangent type;
     it is rounded and cast in the forward).
     """
@@ -53,7 +57,7 @@ def make_fast_radiance(scene: Scene, max_depth: int, bvh=None,
         seed = seed_f32.astype(jnp.int32)
         return pallas_trace_paths(
             origin, direction, time, s, seed, max_depth,
-            interpret=interpret, bvh=bvh,
+            interpret=interpret, bvh=bvh, front=front,
         )
 
     def fwd(params, origin, direction, time, seed_f32):
@@ -61,7 +65,7 @@ def make_fast_radiance(scene: Scene, max_depth: int, bvh=None,
         seed = seed_f32.astype(jnp.int32)
         rad, res = pallas_trace_record(
             origin, direction, time, s, seed, max_depth,
-            interpret=interpret, bvh=bvh,
+            interpret=interpret, bvh=bvh, front=front,
         )
         return rad, (params, origin, direction, time, res)
 

@@ -289,9 +289,10 @@ def _slab_factory(box_ref, rays, t_min, bt=None):
     return slab
 
 
-def _pack_any_bits(slab, n: int, base: int = 0):
+def _pack_any_bits(slab, n: int, base=0):
     """Pack "any lane hit box base+k" bits for k in [0, n), n <= WORD, into
-    ONE int32 scalar with a single vector->scalar sync.
+    ONE int32 scalar with a single vector->scalar sync. `n` must be static;
+    `base` may be a traced scalar (dynamic SMEM column loads are free).
 
     Per group of 8 boxes: collapse sublanes with a max -> (1,128) each,
     stack -> (8,128), one MXU matmul against ones(128,128) broadcasts the
@@ -299,6 +300,27 @@ def _pack_any_bits(slab, n: int, base: int = 0):
     and sum over sublanes — every lane of the (1,128) result holds the same
     <=24-bit word, exact in f32 (each row spans <=17 mantissa bits, the
     cross-row sum <=24). One jnp.max extracts it."""
+    import os
+
+    if os.environ.get("RTP_PACK", "mxu") == "reduce":
+        # lane-reduction variant: per group, cross-lane max -> (8,1), weight
+        # rows by 2^(8g+r), accumulate; ONE final scalar sum is the sync.
+        w8 = _row_weights()[:, :1]
+        acc = None
+        for g in range(0, n, SUB):
+            cnt = min(SUB, n - g)
+            rows = [
+                jnp.max(slab(base + g + r), axis=0, keepdims=True)
+                for r in range(cnt)
+            ]
+            if cnt < SUB:
+                rows += [jnp.zeros((1, LANES), jnp.float32)] * (SUB - cnt)
+            grp = jnp.concatenate(rows, axis=0)
+            lane_any = jnp.max(grp, axis=1, keepdims=True)  # (8, 1)
+            bits = jnp.where(lane_any > 0.0, w8 * float(1 << g), 0.0)
+            acc = bits if acc is None else acc + bits
+        return jnp.sum(acc).astype(jnp.int32)  # the one sync
+
     ones = jnp.ones((LANES, LANES), jnp.float32)
     wrow = _row_weights()
     acc = None
@@ -317,93 +339,154 @@ def _pack_any_bits(slab, n: int, base: int = 0):
     return jnp.max(word_tile).astype(jnp.int32)  # the one sync
 
 
-def _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, live_ref, rays,
-                       t_min, n_front, shape):
-    """Two-level front-culled closest hit: >= ONE scalar sync per bounce,
-    at most one per 24 subtrees.
+def _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref,
+                       live_ref, rays, t_min, n_front, shape):
+    """Hierarchical front-culled closest hit: >= ONE scalar sync per
+    bounce, at most one per 24 live subtrees — kernel code size O(1) in the
+    front size.
 
     The tile-uniform traversal (_closest_hit_bvh) pays a vector->scalar
     `any()` sync (~460 cycles measured) at EVERY node, which outweighs its
-    O(log N) visit savings. Here the BVH is cut into a fixed front of F
-    subtrees (bvh.bvh_front), each owning a contiguous sphere range, and
-    the subtrees are grouped into words of 24:
+    O(log N) visit savings. Here the BVH is cut into a front of F subtrees
+    (bvh.bvh_front), each owning a contiguous sphere range; subtrees are
+    grouped into words of 24, words into super-words of 24 (three levels,
+    F <= 13824, ~360k spheres at 26/subtree):
 
-    - level 0 (only when F > 24): slab-test each word's union box
-      (wf_ref), pack the any-bits into one scalar word (_pack_any_bits, one
-      sync); words no lane enters skip their level-1 work entirely via
-      lax.cond — no slab tests, no MXU pack, no sync, no scalar loop;
-    - level 1: per live word, slab-test its 24 subtree boxes and pack (one
-      sync); a scalar-only loop compacts the set bits' (start, count)
-      ranges into SMEM scratch (`live_ref`) — the loop that touches every
-      bit carries ONE scalar, not the 12-tensor hit state (a full-carry
-      loop over all F subtrees costs more than the culling saves: vector
-      carries cross every iteration boundary even for 0-trip bodies);
-    - only the ~live subtrees then run the exact unrolled sphere test on
-      their contiguous SMEM rows (ranges pre-padded to UNROLL by repeating
-      their last sphere — idempotent under strict < updates).
+    - stage 1 builds the LIVE WORD LIST in SMEM scratch (`livew_ref`):
+      * F <= 24 (one word): the word is trivially live, no pack;
+      * F <= 576: slab-test the word union boxes (wf_ref), pack the
+        any-bits into one scalar (_pack_any_bits, one sync), scalar-extract
+        the set bits;
+      * F > 576: slab-test the super-word union boxes (sf_ref) and pack
+        (one sync); per LIVE super-word only, pack its 24 word boxes (one
+        sync each — the pack takes a traced base) and extract. Dead
+        super-words cost nothing beyond their one slab column.
+    - stage 2 walks ONLY the live words (a fori_loop over the compacted
+      list — dead words never cross the 12-tensor hit-state carry): per
+      word, slab-test its 24 subtree boxes clamped to the per-lane best_t
+      so far (one sync), scalar-compact the live (start, count) ranges into
+      `live_ref`, and run the exact unrolled sphere test on their
+      contiguous SMEM rows (ranges pre-padded to UNROLL by repeating their
+      last sphere — idempotent under strict < updates).
 
-    Level-1 slab tests clamp their far plane to the per-lane best_t carried
+    Subtree slab tests clamp their far plane to the per-lane best_t carried
     from the words already processed (see _slab_factory): in dense scenes
     the first hits shrink best_t to ~the nearest surface, and later words'
     subtrees cull against it.
 
     Radiance is bit-identical to the brute scan (same tests, same order
     within subtrees; culled subtrees cannot contain the winner)."""
-    slab_w = _slab_factory(wf_ref, rays, t_min)
     n_words = n_front // WORD
-
+    n_super = (n_words + WORD - 1) // WORD
     hc = _hit_init(shape)
-    wword = _pack_any_bits(slab_w, n_words) if n_words > 1 else None
 
-    for w in range(n_words):
+    # ---- stage 1: live word list ----
+    if n_words == 1:
+        livew_ref[0, 0] = jnp.int32(0)
+        n_live_w = jnp.int32(1)
+    else:
+        slab_w = _slab_factory(wf_ref, rays, t_min)
 
-        def process(h, w=w):
-            slab_f = _slab_factory(ff_ref, rays, t_min, bt=h[0])
-            word = _pack_any_bits(slab_f, WORD, base=w * WORD)
-
-            def extract(k, c, w=w, word=word):
-                bit = jax.lax.shift_right_logical(word, k) & 1
+        def extract_words(wword, wbase, c0):
+            def extract(k, c):
+                bit = jax.lax.shift_right_logical(wword, k) & 1
 
                 @pl.when(bit > 0)
                 def _():
-                    live_ref[0, c] = fi_ref[0, w * WORD + k]
-                    live_ref[1, c] = fi_ref[1, w * WORD + k]
+                    livew_ref[0, c] = wbase + k
 
                 return c + bit
 
-            n_live = jax.lax.fori_loop(0, WORD, extract, jnp.int32(0))
+            return jax.lax.fori_loop(0, WORD, extract, c0)
 
-            def live_body(l, hh):
-                start = live_ref[0, l]
-                cnt = live_ref[1, l]
+        if n_super == 1:
+            wword = _pack_any_bits(slab_w, n_words)
 
-                def inner(q, hhh):
-                    base_s = start + q * UNROLL
-                    for u in range(UNROLL):
-                        hhh = _sphere_test(sph_ref, base_s + u, rays, hhh, t_min)
-                    return hhh
+            def extract(k, c):
+                bit = jax.lax.shift_right_logical(wword, k) & 1
 
-                return jax.lax.fori_loop(0, cnt // UNROLL, inner, hh)
+                @pl.when(bit > 0)
+                def _():
+                    livew_ref[0, c] = jnp.int32(k)
 
-            return jax.lax.fori_loop(0, n_live, live_body, h)
+                return c + bit
 
-        if wword is None:
-            hc = process(hc)
+            n_live_w = jax.lax.fori_loop(0, n_words, extract, jnp.int32(0))
         else:
-            live = jax.lax.shift_right_logical(wword, w) & 1
-            hc = jax.lax.cond(live > 0, process, lambda h: h, hc)
-    return hc
+            slab_s = _slab_factory(sf_ref, rays, t_min)
+            sword = _pack_any_bits(slab_s, n_super)
+
+            def super_body(sw, c):
+                bit = jax.lax.shift_right_logical(sword, sw) & 1
+
+                def live_fn(cc):
+                    # wf is padded to a WORD multiple of word columns, so a
+                    # static 24-box pack is always in range; padding words
+                    # are degenerate boxes that never set a bit.
+                    wword = _pack_any_bits(slab_w, WORD, base=sw * WORD)
+                    return extract_words(wword, sw * WORD, cc)
+
+                return jax.lax.cond(bit > 0, live_fn, lambda cc: cc, c)
+
+            n_live_w = jax.lax.fori_loop(0, n_super, super_body, jnp.int32(0))
+
+    # ---- stage 2: per live word ----
+    def word_body(l, h):
+        w = livew_ref[0, l]
+        slab_f = _slab_factory(ff_ref, rays, t_min, bt=h[0])
+        word = _pack_any_bits(slab_f, WORD, base=w * WORD)
+
+        def extract(k, c):
+            bit = jax.lax.shift_right_logical(word, k) & 1
+
+            @pl.when(bit > 0)
+            def _():
+                live_ref[0, c] = fi_ref[0, w * WORD + k]
+                live_ref[1, c] = fi_ref[1, w * WORD + k]
+
+            return c + bit
+
+        n_live = jax.lax.fori_loop(0, WORD, extract, jnp.int32(0))
+
+        def live_body(l2, hh):
+            start = live_ref[0, l2]
+            cnt = live_ref[1, l2]
+
+            def inner(q, hhh):
+                base_s = start + q * UNROLL
+                for u in range(UNROLL):
+                    hhh = _sphere_test(sph_ref, base_s + u, rays, hhh, t_min)
+                return hhh
+
+            return jax.lax.fori_loop(0, cnt // UNROLL, inner, hh)
+
+        return jax.lax.fori_loop(0, n_live, live_body, h)
+
+    return jax.lax.fori_loop(0, n_live_w, word_body, hc)
 
 
 def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
                  dx_ref, dy_ref, dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
-                 *, max_depth: int, t_min: float, res_refs=None):
+                 *, max_depth: int, t_min: float, res_refs=None,
+                 init_refs=None, state_out_refs=None):
     """Shared kernel body: depth loop of (closest hit -> shade/scatter).
 
-    `res_refs` = (idx, ndx, ndy, ndz, rfl) VMEM refs of shape
+    `res_refs` = (code, ndx, ndy, ndz) VMEM refs of shape
     (max_depth, SUB, LANES): when given, per-bounce path decisions are
-    recorded for the path-replay backward (grad/replay.py) — winner sphere
-    index (-1 miss, -2 dead), scattered direction, dielectric branch bit."""
+    recorded for the path-replay backward (grad/replay.py). `code` packs
+    the winner index and the dielectric branch bit into one f32 plane —
+    code = 2*idx + refl_bit with idx in {-2 dead, -1 miss, >=0 hit} and
+    refl_bit only ever set on hits (exact in f32 below 2^22 spheres;
+    decode: i32 arithmetic >> 1 floors correctly for -2/-4). Packing saves
+    one [depth, R] f32 plane of HBM traffic vs a separate refl plane.
+
+    `init_refs` = (thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive) input
+    refs and `state_out_refs` = (ox, oy, oz, dx, dy, dz, thr_r, thr_g,
+    thr_b, alive) output refs turn the loop into a resumable SEGMENT of a
+    deeper bounce loop: the caller carries ray state across kernel launches
+    and compacts still-alive rays between segments
+    (pallas_trace_paths_segmented) — the stream-compaction design of
+    SURVEY.md §7 at segment granularity."""
     # Two independent seed words (advisor round 1): `seed + program_id` made
     # sample chunks whose seeds differ by < the tile count reuse identical
     # per-tile streams and could overflow int32; feeding the tile index as a
@@ -415,15 +498,20 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
     tm = tm_ref[:]
 
     shape = (SUB, LANES)
-    thr_r = jnp.ones(shape, jnp.float32)
-    thr_g = jnp.ones(shape, jnp.float32)
-    thr_b = jnp.ones(shape, jnp.float32)
-    rad_r = jnp.zeros(shape, jnp.float32)
-    rad_g = jnp.zeros(shape, jnp.float32)
-    rad_b = jnp.zeros(shape, jnp.float32)
-    # alive carried as a 0/1 float mask: bool vectors can't round-trip a
-    # Mosaic cond carry (i8->i1 truncation is unsupported).
-    alive = jnp.ones(shape, jnp.float32)
+    if init_refs is None:
+        thr_r = jnp.ones(shape, jnp.float32)
+        thr_g = jnp.ones(shape, jnp.float32)
+        thr_b = jnp.ones(shape, jnp.float32)
+        rad_r = jnp.zeros(shape, jnp.float32)
+        rad_g = jnp.zeros(shape, jnp.float32)
+        rad_b = jnp.zeros(shape, jnp.float32)
+        # alive carried as a 0/1 float mask: bool vectors can't round-trip a
+        # Mosaic cond carry (i8->i1 truncation is unsupported).
+        alive = jnp.ones(shape, jnp.float32)
+    else:
+        thr_r, thr_g, thr_b = (r[:] for r in init_refs[0:3])
+        rad_r, rad_g, rad_b = (r[:] for r in init_refs[3:6])
+        alive = init_refs[6][:]
 
     def bounce(dep, carry):
         ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive = carry
@@ -520,16 +608,14 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
 
         hit_live = alive_b & hit
         if res_refs is not None:
-            idx_ref, ndx_ref, ndy_ref, ndz_ref, rfl_ref = res_refs
+            code_ref, ndx_ref, ndy_ref, ndz_ref = res_refs
             miss_live = alive_b & ~hit
             idx_val = jnp.where(hit_live, bs, jnp.where(miss_live, -1.0, -2.0))
-            idx_ref[pl.ds(dep, 1)] = idx_val[None]
+            rfl_bit = jnp.where(hit_live & is_die & do_refl, 1.0, 0.0)
+            code_ref[pl.ds(dep, 1)] = (2.0 * idx_val + rfl_bit)[None]
             ndx_ref[pl.ds(dep, 1)] = jnp.where(hit_live, sx, 0.0)[None]
             ndy_ref[pl.ds(dep, 1)] = jnp.where(hit_live, sy, 0.0)[None]
             ndz_ref[pl.ds(dep, 1)] = jnp.where(hit_live, sz, 0.0)[None]
-            rfl_ref[pl.ds(dep, 1)] = jnp.where(
-                hit_live & is_die & do_refl, 1.0, 0.0
-            )[None]
         thr_r = thr_r * jnp.where(hit_live, att_r, 1.0)
         thr_g = thr_g * jnp.where(hit_live, att_g, 1.0)
         thr_b = thr_b * jnp.where(hit_live, att_b, 1.0)
@@ -560,7 +646,8 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
              rad_r, rad_g, rad_b, alive)
     if res_refs is not None:
         # bounces skipped by the early exit keep the DEAD initialization
-        res_refs[0][:] = jnp.full((max_depth, SUB, LANES), -2.0, jnp.float32)
+        # (code = 2 * DEAD = -4)
+        res_refs[0][:] = jnp.full((max_depth, SUB, LANES), -4.0, jnp.float32)
         for r in res_refs[1:]:
             r[:] = jnp.zeros((max_depth, SUB, LANES), jnp.float32)
     # Rolled depth loop (keeps kernel code size O(1) in max_depth — an
@@ -576,6 +663,9 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
     rr_ref[:] = carry[9]
     rg_ref[:] = carry[10]
     rb_ref[:] = carry[11]
+    if state_out_refs is not None:
+        for ref, val in zip(state_out_refs, carry[0:9] + (carry[12],)):
+            ref[:] = val
 
 
 def _megakernel(
@@ -615,15 +705,18 @@ def _megakernel_front(
     sph_ref,   # SMEM (N_ROWS, Np) — front-padded table (front_tables)
     ff_ref,    # SMEM (8, F) float32 subtree boxes (min xyz, max xyz, 0, 0)
     fi_ref,    # SMEM (2, F) int32 (start, padded count)
-    wf_ref,    # SMEM (8, F//WORD) float32 word-level union boxes
+    wf_ref,    # SMEM (8, Wp) float32 word-level union boxes
+    sf_ref,    # SMEM (8, S) float32 super-word union boxes
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
     rr_ref, rg_ref, rb_ref,
+    livew_ref,  # SMEM (1, n_words) int32 scratch — compacted live word ids
     live_ref,  # SMEM (2, WORD) int32 scratch — compacted live (start, count)
     *, n_front: int, max_depth: int, t_min: float,
 ):
     def hit(rays, shape):
-        return _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, live_ref,
-                                  rays, t_min, n_front, shape)
+        return _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref,
+                                  livew_ref, live_ref, rays, t_min, n_front,
+                                  shape)
 
     _bounce_loop(seed_ref, hit, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                  dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
@@ -635,14 +728,21 @@ class FrontTables:
     _closest_hit_front). Built once per scene by `front_tables`."""
 
     def __init__(self, sph: jnp.ndarray, ff: jnp.ndarray, fi: jnp.ndarray,
-                 wf: jnp.ndarray):
+                 wf: jnp.ndarray, sf: jnp.ndarray,
+                 remap: jnp.ndarray | None = None):
         self.sph = sph  # (N_ROWS, Np) front-padded sphere table
         self.ff = ff    # (8, F) f32 subtree boxes
         self.fi = fi    # (2, F) i32 (start, count)
-        self.wf = wf    # (8, F//WORD) f32 word-level union boxes
+        self.wf = wf    # (8, Wp) f32 word-level union boxes (Wp = words
+        #                 padded to a WORD multiple when 3 levels are used)
+        self.sf = sf    # (8, S) f32 super-word union boxes
+        # (Np,) i32: padded-table column -> index into the (leaf-ordered)
+        # scene arrays — maps the kernel's winner index back to scene space
+        # for the path-replay residuals.
+        self.remap = remap
 
     def tree_flatten(self):
-        return (self.sph, self.ff, self.fi, self.wf), None
+        return (self.sph, self.ff, self.fi, self.wf, self.sf, self.remap), None
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -656,12 +756,19 @@ jax.tree_util.register_pytree_node(
 )
 
 
+# SMEM budget for the scene + front tables: the hardware limit measured on
+# v5e is ~1 MiB (16k-sphere tables compile, 20k fail); keep headroom for
+# Mosaic's own scalar state.
+SMEM_BUDGET_BYTES = 960 * 1024
+
+
 def default_front_nodes(n_spheres: int) -> int:
-    """Front size: ~26 spheres per subtree, in WORD multiples, capped where
-    the measured full-path sweep flattened (488 spheres: F=24 > F=48;
-    5000: F=192 best of 96/192/240 — tools/bench_front_full.py)."""
+    """Front size: ~26 spheres per subtree, in WORD multiples. The
+    hierarchical kernel (words of 24 subtrees, super-words of 24 words) is
+    O(1) in code size and O(live) in syncs, so the front scales with the
+    scene up to the 3-level limit of 24^3 subtrees."""
     f = max(1, round(n_spheres / 26 / WORD)) * WORD
-    return min(max(f, WORD), 192)
+    return min(max(f, WORD), WORD * WORD * WORD)
 
 
 def front_tables(scene: Scene, bvh, max_nodes: int | None = None) -> FrontTables:
@@ -682,6 +789,7 @@ def front_tables(scene: Scene, bvh, max_nodes: int | None = None) -> FrontTables
     sph = np.asarray(_scene_table(scene))
 
     cols = []
+    remap_cols = []
     new_start = np.zeros_like(fr.start)
     new_count = np.zeros_like(fr.count)
     pos = 0
@@ -691,35 +799,65 @@ def front_tables(scene: Scene, bvh, max_nodes: int | None = None) -> FrontTables
             continue
         cp = ((c + UNROLL - 1) // UNROLL) * UNROLL
         block = sph[:, s : s + c]
+        ids = np.arange(s, s + c, dtype=np.int32)
         if cp > c:
             block = np.concatenate(
                 [block, np.repeat(block[:, -1:], cp - c, axis=1)], axis=1
             )
+            ids = np.concatenate([ids, np.repeat(ids[-1:], cp - c)])
         new_start[k] = pos
         new_count[k] = cp
         cols.append(block)
+        remap_cols.append(ids)
         pos += cp
     sph_pad = np.concatenate(cols, axis=1)
+    remap = np.concatenate(remap_cols)
     ff = np.zeros((8, fr.fmin.shape[0]), np.float32)
     ff[0:3] = fr.fmin.T
     ff[3:6] = fr.fmax.T
     fi = np.stack([new_start, new_count]).astype(np.int32)
-    # Word-level union boxes (level-0 cull): one AABB per 24-subtree word,
+    # Word-level union boxes (stage-1 cull): one AABB per 24-subtree word,
     # unioned over REAL subtrees only (padding entries sit at 1e30 and would
     # blow the union up); all-padding words get the same degenerate 1e30
     # point, which the strict tf > tn slab test always misses.
     n_words = fr.fmin.shape[0] // WORD
-    wf = np.full((8, n_words), 0.0, np.float32)
+    n_super = (n_words + WORD - 1) // WORD
+    # With 3 levels the word table is padded to a WORD multiple of columns
+    # so per-super packs are a static 24 boxes (padding words degenerate).
+    n_words_pad = n_super * WORD if n_super > 1 else n_words
+    wf = np.full((8, n_words_pad), 0.0, np.float32)
+    wf[0:6] = 1e30
     for wd in range(n_words):
         sl = slice(wd * WORD, (wd + 1) * WORD)
         real = fr.count[sl] > 0
         if real.any():
             wf[0:3, wd] = fr.fmin[sl][real].min(axis=0)
             wf[3:6, wd] = fr.fmax[sl][real].max(axis=0)
-        else:
-            wf[0:6, wd] = 1e30
+            wf[6:8, wd] = 0.0
+    # Super-word union boxes (only consulted when n_super > 1).
+    sf = np.full((8, max(n_super, 1)), 0.0, np.float32)
+    sf[0:6] = 1e30
+    for sw in range(n_super):
+        sl = slice(sw * WORD, min((sw + 1) * WORD, n_words))
+        real = wf[0, sl] < 1e29
+        if real.any():
+            sf[0:3, sw] = wf[0:3, sl][:, real].min(axis=1)
+            sf[3:6, sw] = wf[3:6, sl][:, real].max(axis=1)
+            sf[6:8, sw] = 0.0
+    smem_bytes = 4 * (
+        sph_pad.size + ff.size + fi.size + wf.size + sf.size
+        + n_words_pad + 2 * WORD  # livew + live scratch
+    )
+    if smem_bytes > SMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"front tables need {smem_bytes} B of SMEM (> {SMEM_BUDGET_BYTES} "
+            f"budget): {sph_pad.shape[1]} padded spheres x {N_ROWS} rows. "
+            "Scenes this large need the HBM-staged sphere table "
+            "(front_tables_hbm)."
+        )
     return FrontTables(
-        jnp.asarray(sph_pad), jnp.asarray(ff), jnp.asarray(fi), jnp.asarray(wf)
+        jnp.asarray(sph_pad), jnp.asarray(ff), jnp.asarray(fi),
+        jnp.asarray(wf), jnp.asarray(sf), jnp.asarray(remap),
     )
 
 
@@ -793,13 +931,16 @@ def pallas_trace_paths(
         in_specs = [
             smem((1, 1)), smem(front.sph.shape),
             smem((8, n_front)), smem((2, n_front)),
-            smem(front.wf.shape),
+            smem(front.wf.shape), smem(front.sf.shape),
         ]
         args = (
             jnp.asarray(seed, jnp.int32).reshape(1, 1),
-            front.sph, front.ff, front.fi, front.wf,
+            front.sph, front.ff, front.fi, front.wf, front.sf,
         )
-        scratch_shapes = [pltpu.SMEM((2, WORD), jnp.int32)]
+        scratch_shapes = [
+            pltpu.SMEM((1, n_front // WORD), jnp.int32),
+            pltpu.SMEM((2, WORD), jnp.int32),
+        ]
     elif bvh is None:
         kernel = functools.partial(
             _megakernel, n_spheres=n, max_depth=max_depth, t_min=t_min
@@ -848,13 +989,16 @@ def pallas_trace_record(
     t_min: float = T_MIN,
     interpret: bool = False,
     bvh=None,
+    front=None,
 ):
     """Like pallas_trace_paths, but also records path residuals in-kernel
     for the path-replay backward (grad/replay.py).
 
     Returns (radiance [R, 3], grad.replay.PathResiduals) — idx [D, R] int32
     (>=0 hit sphere in THIS scene's ordering, -1 miss, -2 dead), ndir
-    [D, R, 3], refl [D, R] bool."""
+    [D, R, 3], refl [D, R] bool. With `front` (FrontTables) the closest hit
+    is the front-culled scan; the kernel's winner index (a column of the
+    front-padded table) is mapped back to scene order via front.remap."""
     from raytracingproject_tpu.grad.replay import PathResiduals
 
     R = origin.shape[0]
@@ -869,7 +1013,6 @@ def pallas_trace_record(
         _pad_flat(time, r_pad),
     ]
     comps = [c.reshape(tiles * SUB, LANES) for c in comps]
-    sph = _scene_table(scene)
 
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     res_spec = pl.BlockSpec(
@@ -877,15 +1020,49 @@ def pallas_trace_record(
     )
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
 
-    def wrap(kernel_core):
+    def wrap(kernel_core, n_in, n_scratch):
         def kernel(*refs):
-            ins = refs[: len(in_specs)]
-            rr, rg, rb, idx, ndx, ndy, ndz, rfl = refs[len(in_specs):]
-            kernel_core(*ins, rr, rg, rb, res_refs=(idx, ndx, ndy, ndz, rfl))
+            ins = refs[:n_in]
+            outs = refs[n_in:len(refs) - n_scratch]
+            scratch = refs[len(refs) - n_scratch:] if n_scratch else ()
+            rr, rg, rb, code, ndx, ndy, ndz = outs
+            kernel_core(*ins, rr, rg, rb, *scratch,
+                        res_refs=(code, ndx, ndy, ndz))
 
         return kernel
 
-    if bvh is None:
+    scratch_shapes = []
+    if front is not None:
+        n_front = front.ff.shape[1]
+
+        def core(seed_ref, sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, *rest,
+                 res_refs):
+            ray_refs = rest[:7]
+            rr, rg, rb, livew_ref, live_ref = rest[7:]
+
+            def hit(rays, shape):
+                return _closest_hit_front(
+                    sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref,
+                    live_ref, rays, t_min, n_front, shape,
+                )
+
+            _bounce_loop(seed_ref, hit, *ray_refs, rr, rg, rb,
+                         max_depth=max_depth, t_min=t_min, res_refs=res_refs)
+
+        in_specs = [
+            smem((1, 1)), smem(front.sph.shape),
+            smem((8, n_front)), smem((2, n_front)),
+            smem(front.wf.shape), smem(front.sf.shape),
+        ]
+        args = (
+            jnp.asarray(seed, jnp.int32).reshape(1, 1),
+            front.sph, front.ff, front.fi, front.wf, front.sf,
+        )
+        scratch_shapes = [
+            pltpu.SMEM((1, n_front // WORD), jnp.int32),
+            pltpu.SMEM((2, WORD), jnp.int32),
+        ]
+    elif bvh is None:
         def core(seed_ref, sph_ref, *rest, res_refs):
             ray_refs, out_refs = rest[:7], rest[7:]
 
@@ -896,7 +1073,7 @@ def pallas_trace_record(
                          max_depth=max_depth, t_min=t_min, res_refs=res_refs)
 
         in_specs = [smem((1, 1)), smem((N_ROWS, n))]
-        args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), sph)
+        args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), _scene_table(scene))
     else:
         m = bvh.node_min.shape[0]
         nf = jnp.stack([
@@ -917,28 +1094,220 @@ def pallas_trace_record(
                          max_depth=max_depth, t_min=t_min, res_refs=res_refs)
 
         in_specs = [smem((1, 1)), smem((N_ROWS, n)), smem((6, m)), smem((3, m))]
-        args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), sph, nf, ni)
+        args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), _scene_table(scene), nf, ni)
 
+    n_in = len(in_specs) + 7
     in_specs = in_specs + [ray_spec] * 7
 
     outs = pl.pallas_call(
-        wrap(core),
+        wrap(core, n_in, len(scratch_shapes)),
         grid=(tiles,),
         in_specs=in_specs,
-        out_specs=[ray_spec] * 3 + [res_spec] * 5,
+        out_specs=[ray_spec] * 3 + [res_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((tiles * SUB, LANES), jnp.float32)] * 3
-        + [jax.ShapeDtypeStruct((max_depth, tiles * SUB, LANES), jnp.float32)] * 5,
+        + [jax.ShapeDtypeStruct((max_depth, tiles * SUB, LANES), jnp.float32)] * 4,
+        scratch_shapes=scratch_shapes,
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(*args, *comps)
 
-    rr, rg, rb, idx, ndx, ndy, ndz, rfl = outs
+    rr, rg, rb, code, ndx, ndy, ndz = outs
     rad = jnp.stack(
         [rr.reshape(-1)[:R], rg.reshape(-1)[:R], rb.reshape(-1)[:R]], axis=-1
     )
     flat = lambda x: x.reshape(max_depth, -1)[:, :R]
+    ci = flat(code).astype(jnp.int32)
+    idx = ci >> 1  # arithmetic shift floors: -4 -> -2 dead, -2 -> -1 miss
+    refl = (ci & 1) > 0
+    if front is not None:
+        # winner indices are columns of the front-padded table; map back to
+        # the (leaf-ordered) scene the replay differentiates.
+        idx = jnp.where(idx >= 0, jnp.take(front.remap, jnp.maximum(idx, 0)), idx)
     res = PathResiduals(
-        idx=flat(idx).astype(jnp.int32),
+        idx=idx,
         ndir=jnp.stack([flat(ndx), flat(ndy), flat(ndz)], axis=-1),
-        refl=flat(rfl) > 0.5,
+        refl=refl,
     )
     return rad, res
+
+
+# ---------------------------------------------------------------------------
+# Segmented deep tracing: megakernel segments + inter-segment compaction.
+#
+# The megakernel's early exit is TILE-granular: one live lane drags its
+# whole 1024-ray tile through every remaining bounce. At the reference's
+# flagship depth 50 (src/main.cpp:59) nearly every tile keeps >=1 live ray
+# for many bounces and throughput collapses ~5x (CONFIG3_r02). Here the
+# depth loop is cut into SEGMENTS of `seg_len` bounces; between segments the
+# still-alive rays are compacted to a dense prefix (a stable sort on the
+# alive bit in XLA — cheap at one sort per seg_len bounces), so dead tiles
+# become *entirely* dead and skip their remaining segments via the existing
+# scalar early exit. This is SURVEY.md §7's "stream compaction" at the
+# granularity TPUs want: no per-bounce scatter, state stays [R]-shaped and
+# statically tiled.
+# ---------------------------------------------------------------------------
+
+def _megakernel_seg_brute(
+    seed_ref, sph_ref,
+    ox, oy, oz, dx, dy, dz, tm,
+    thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive,
+    oox, ooy, ooz, odx, ody, odz, othr_r, othr_g, othr_b, rr, rg, rb, oalive,
+    *, n_spheres: int, max_depth: int, t_min: float,
+):
+    def hit(rays, shape):
+        return _closest_hit_brute(sph_ref, rays, t_min, n_spheres, shape)
+
+    _bounce_loop(
+        seed_ref, hit, ox, oy, oz, dx, dy, dz, tm, rr, rg, rb,
+        max_depth=max_depth, t_min=t_min,
+        init_refs=(thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive),
+        state_out_refs=(oox, ooy, ooz, odx, ody, odz, othr_r, othr_g,
+                        othr_b, oalive),
+    )
+
+
+def _megakernel_seg_front(
+    seed_ref, sph_ref, ff_ref, fi_ref, wf_ref, sf_ref,
+    ox, oy, oz, dx, dy, dz, tm,
+    thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive,
+    oox, ooy, ooz, odx, ody, odz, othr_r, othr_g, othr_b, rr, rg, rb, oalive,
+    livew_ref, live_ref,
+    *, n_front: int, max_depth: int, t_min: float,
+):
+    def hit(rays, shape):
+        return _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref,
+                                  livew_ref, live_ref, rays, t_min, n_front,
+                                  shape)
+
+    _bounce_loop(
+        seed_ref, hit, ox, oy, oz, dx, dy, dz, tm, rr, rg, rb,
+        max_depth=max_depth, t_min=t_min,
+        init_refs=(thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive),
+        state_out_refs=(oox, ooy, ooz, odx, ody, odz, othr_r, othr_g,
+                        othr_b, oalive),
+    )
+
+
+def _segment_call(planes, scene, seed, depth, t_min, front, interpret):
+    """One segment launch: 14 input planes [T*SUB, LANES] -> 13 outputs
+    (o, d, thr, rad, alive). `planes` order: ox oy oz dx dy dz tm thr_rgb
+    rad_rgb alive."""
+    tiles = planes[0].shape[0] // SUB
+    ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    scratch_shapes = []
+    if front is not None:
+        n_front = front.ff.shape[1]
+        kernel = functools.partial(
+            _megakernel_seg_front, n_front=n_front, max_depth=depth,
+            t_min=t_min,
+        )
+        in_specs = [
+            smem((1, 1)), smem(front.sph.shape),
+            smem((8, n_front)), smem((2, n_front)),
+            smem(front.wf.shape), smem(front.sf.shape),
+        ]
+        args = (
+            jnp.asarray(seed, jnp.int32).reshape(1, 1),
+            front.sph, front.ff, front.fi, front.wf, front.sf,
+        )
+        scratch_shapes = [
+            pltpu.SMEM((1, n_front // WORD), jnp.int32),
+            pltpu.SMEM((2, WORD), jnp.int32),
+        ]
+    else:
+        n = scene.radius.shape[0]
+        kernel = functools.partial(
+            _megakernel_seg_brute, n_spheres=n, max_depth=depth, t_min=t_min
+        )
+        in_specs = [smem((1, 1)), smem((N_ROWS, n))]
+        args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), _scene_table(scene))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=in_specs + [ray_spec] * 14,
+        out_specs=[ray_spec] * 13,
+        out_shape=[jax.ShapeDtypeStruct((tiles * SUB, LANES), jnp.float32)] * 13,
+        scratch_shapes=scratch_shapes,
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(*args, *planes)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "seg_len", "t_min", "interpret"),
+)
+def pallas_trace_paths_segmented(
+    origin: jnp.ndarray,     # [R, 3]
+    direction: jnp.ndarray,  # [R, 3]
+    time: jnp.ndarray,       # [R]
+    scene: Scene,
+    seed: jnp.ndarray,       # scalar int32
+    max_depth: int,
+    seg_len: int = 8,
+    t_min: float = T_MIN,
+    interpret: bool = False,
+    front=None,
+) -> jnp.ndarray:
+    """Radiance [R, 3] via depth segments with inter-segment compaction —
+    the fast path for deep bounce limits (the reference's own operating
+    point is max_depth 50, src/main.cpp:59).
+
+    Statistically identical to pallas_trace_paths (each segment reseeds the
+    in-kernel PRNG, so individual paths differ; the estimator and its
+    distributions are unchanged). Segment 1 runs every ray; before each
+    later segment, rays are stably partitioned alive-first so the dead
+    majority packs into all-dead tiles that the kernel's scalar early exit
+    skips at ~zero cost."""
+    R = origin.shape[0]
+    r_pad = ((R + TILE - 1) // TILE) * TILE
+    tiles = r_pad // TILE
+
+    def pad(x, fill):
+        if r_pad == R:
+            return x.astype(jnp.float32)
+        return jnp.concatenate(
+            [x.astype(jnp.float32), jnp.full((r_pad - R,), fill, jnp.float32)]
+        )
+
+    # flat [r_pad] planes; padding rays are parked dead
+    ox = pad(origin[:, 0], 1e18); oy = pad(origin[:, 1], 1e18)
+    oz = pad(origin[:, 2], 1e18)
+    dx = pad(direction[:, 0], 1.0); dy = pad(direction[:, 1], 1.0)
+    dz = pad(direction[:, 2], 1.0)
+    tm = pad(time, 0.0)
+    thr_r = pad(jnp.ones((R,)), 0.0); thr_g = pad(jnp.ones((R,)), 0.0)
+    thr_b = pad(jnp.ones((R,)), 0.0)
+    rad_r = jnp.zeros((r_pad,), jnp.float32)
+    rad_g = jnp.zeros((r_pad,), jnp.float32)
+    rad_b = jnp.zeros((r_pad,), jnp.float32)
+    alive = pad(jnp.ones((R,)), 0.0)
+    slot = jnp.arange(r_pad, dtype=jnp.int32)  # position -> original ray
+
+    n_segs = (max_depth + seg_len - 1) // seg_len
+    state = [ox, oy, oz, dx, dy, dz, tm, thr_r, thr_g, thr_b,
+             rad_r, rad_g, rad_b, alive]
+    for s in range(n_segs):
+        depth = min(seg_len, max_depth - s * seg_len)
+        seed_s = jnp.bitwise_xor(
+            jnp.asarray(seed, jnp.int32), jnp.int32((s * 0x9E3779B1) & 0x7FFFFFFF)
+        )
+        planes = [p.reshape(tiles * SUB, LANES) for p in state]
+        outs = _segment_call(planes, scene, seed_s, depth, t_min, front,
+                             interpret)
+        o_planes = [o.reshape(-1) for o in outs]
+        # outputs: o(3) d(3) thr(3) rad(3) alive
+        state = (o_planes[0:6] + [tm] + o_planes[6:9] + o_planes[9:12]
+                 + o_planes[12:13])
+        if s < n_segs - 1:
+            order = jnp.argsort(
+                (state[13] < 0.5).astype(jnp.int32), stable=True
+            )
+            state = [jnp.take(p, order) for p in state]
+            tm = state[6]
+            slot = jnp.take(slot, order)
+
+    inv = jnp.argsort(slot)
+    rad = jnp.stack([state[10], state[11], state[12]], axis=-1)
+    return jnp.take(rad, inv, axis=0)[:R]
