@@ -67,3 +67,9 @@ class RenderSettings:
     # backends, and 2 in-flight chunks (the reference's
     # max_frames_in_flight, src/common_objects.h:10) are enough overlap.
     sync_every: int = 4
+    # Megakernel depth segmentation: cut the bounce loop into segments of
+    # this many bounces with alive-ray compaction between segments
+    # (megakernel.pallas_trace_paths_segmented). None = auto (8 whenever
+    # max_depth >= 16 — the measured win at the reference's depth-50
+    # operating point); 0 = off (one monolithic kernel).
+    depth_segment: int | None = None

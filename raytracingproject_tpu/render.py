@@ -225,7 +225,7 @@ def _block_order(width: int, height: int, spp: int = 1, tile: int = 1024):
     jax.jit,
     static_argnames=(
         "width", "height", "max_depth", "spp_chunk", "early_exit", "use_pallas",
-        "use_megakernel",
+        "use_megakernel", "depth_segment",
     ),
 )
 def render_pass(
@@ -242,6 +242,7 @@ def render_pass(
     early_exit: bool = False,
     use_pallas: bool = False,
     use_megakernel: bool = False,
+    depth_segment: int = 0,
     sky_tex: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """`spp_chunk` samples of every pixel; returns the radiance *sum*
@@ -286,10 +287,23 @@ def render_pass(
         # is the front-culled scan — the fastest acceleration path measured.
         # With `bvh`, it is the tile-uniform traversal. Either way the scene
         # must already be in leaf order (render() below reorders).
-        rad = pallas_trace_paths(
-            origin, direction, time, scene, seed, max_depth, bvh=bvh,
-            front=front,
-        )
+        if depth_segment and max_depth > depth_segment and bvh is None:
+            # Deep bounce limits: segment the depth loop and compact alive
+            # rays between segments (tile-granular early exit alone lets one
+            # live lane drag 1024 rays through all 50 bounces).
+            from raytracingproject_tpu.ops.pallas.megakernel import (
+                pallas_trace_paths_segmented,
+            )
+
+            rad = pallas_trace_paths_segmented(
+                origin, direction, time, scene, seed, max_depth,
+                seg_len=depth_segment, front=front,
+            )
+        else:
+            rad = pallas_trace_paths(
+                origin, direction, time, scene, seed, max_depth, bvh=bvh,
+                front=front,
+            )
         rad = rad[jnp.asarray(gather)]  # [spp_chunk, H*W, 3] row-major
         return rad.sum(axis=0).reshape(height, width, 3)
 
@@ -356,6 +370,10 @@ def render(
     pixels = width * height
     spp_chunk = max(1, min(spp, settings.rays_per_batch // max(pixels, 1)))
 
+    depth_segment = settings.depth_segment
+    if depth_segment is None:
+        depth_segment = 8 if camera.max_depth >= 16 else 0
+
     acc = jnp.zeros((height, width, 3), settings.dtype)
     done = 0
     chunks = 0
@@ -375,6 +393,7 @@ def render(
             early_exit=True,
             use_pallas=settings.use_pallas,
             use_megakernel=use_megakernel,
+            depth_segment=depth_segment,
             sky_tex=sky_texture,
         )
         done += chunk

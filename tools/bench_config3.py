@@ -49,6 +49,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=128)
     ap.add_argument("--depth", type=int, default=50)
+    ap.add_argument("--seg", type=int, default=8,
+                    help="depth-segment length (0 = monolithic kernel)")
     args = ap.parse_args()
     assert args.spp % SPP_CHUNK == 0
 
@@ -88,6 +90,7 @@ def main() -> None:
             use_megakernel=on_tpu,
             front=front,
             early_exit=not on_tpu,
+            depth_segment=args.seg if on_tpu else 0,
         )
 
     # 1. device-true chunk-pass throughput
@@ -126,7 +129,11 @@ def main() -> None:
         "spp": args.spp,
         "max_depth": args.depth,
         "n_spheres": int(scene.radius.shape[0]),
-        "path": "pallas_megakernel_front" if on_tpu else "xla_early_exit",
+        "path": (
+            (f"pallas_megakernel_front_seg{args.seg}" if args.seg
+             else "pallas_megakernel_front")
+            if on_tpu else "xla_early_exit"
+        ),
         "rays_per_sec_marginal": round(rays_per_sec, 1),
         "frame_seconds_end_to_end": round(frame_s, 2),
         "rays_per_sec_end_to_end": round(total_rays / frame_s, 1),
