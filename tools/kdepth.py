@@ -31,7 +31,9 @@ W, H = 400, 225
 
 
 def main() -> None:
-    depths = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    # sorted + de-duplicated: duplicate or unordered depths would divide by
+    # zero / produce misleading negative marginals below (round-2 advisor)
+    depths = sorted(set(int(a) for a in sys.argv[1:])) or [1, 4, 16]
     paths = os.environ.get("KDEPTH_PATHS", "front,brute").split(",")
     scene = make_cover_scene(seed=0)
     bvh = build_bvh(scene, leaf_size=8)
