@@ -231,9 +231,15 @@ class BVHFront(NamedTuple):
     count: np.ndarray   # [F] int32 — 0 for padding entries
 
 
-def bvh_front(bvh: FlatBVH, max_nodes: int = 32) -> BVHFront:
+def bvh_front(bvh: FlatBVH, max_nodes: int = 32,
+              max_count: int | None = None) -> BVHFront:
     """Greedy cut: repeatedly split the front node with the most primitives
-    (largest scan cost) until `max_nodes` subtrees. Host-side numpy."""
+    (largest scan cost) until `max_nodes` subtrees. Host-side numpy.
+
+    `max_count` additionally forces every subtree to own <= that many
+    primitives (splitting past `max_nodes` if needed) — the HBM-staged
+    megakernel front requires each subtree to fit one 128-column DMA
+    block."""
     import heapq
 
     miss = np.asarray(bvh.miss_link)
@@ -261,7 +267,13 @@ def bvh_front(bvh: FlatBVH, max_nodes: int = 32) -> BVHFront:
     # heap of (-count, node); leaves are final
     heap: list[tuple[int, int]] = [(-prim_count(0), 0)]
     done: list[int] = []
-    while heap and len(heap) + len(done) < max_nodes:
+
+    def must_split(negc: int) -> bool:
+        return max_count is not None and -negc > max_count
+
+    while heap and (
+        len(heap) + len(done) < max_nodes or must_split(heap[0][0])
+    ):
         negc, i = heapq.heappop(heap)
         if lcount[i] > 0:
             done.append(i)

@@ -92,11 +92,19 @@ def _sphere_test(sph_ref, s, rays, hc, t_min):
     (best_t, winner attributes) carry `hc`. Exact reference quadratic
     (src/sphere.h:30-57) with the open t-interval, moving-sphere center lerp
     (src/sphere.h:68-72)."""
+    return _sphere_test_ld(lambda row: sph_ref[row, s], s, rays, hc, t_min)
+
+
+def _sphere_test_ld(ld, s_global, rays, hc, t_min):
+    """_sphere_test with an abstract scalar loader `ld(row)` — lets the
+    HBM-staged front reuse the exact quadratic on a DMA-staged block
+    (ld indexes the SMEM staging buffer; `s_global` is the winner index to
+    record, which need not equal the staged column)."""
     ox, oy, oz, dx, dy, dz, tm, a, inv_a = rays
     (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio, bs) = hc
-    cx = sph_ref[ROW_CX, s]; cy = sph_ref[ROW_CY, s]; cz = sph_ref[ROW_CZ, s]
-    mx = sph_ref[ROW_MX, s]; my = sph_ref[ROW_MY, s]; mz = sph_ref[ROW_MZ, s]
-    rad = sph_ref[ROW_RAD, s]
+    cx = ld(ROW_CX); cy = ld(ROW_CY); cz = ld(ROW_CZ)
+    mx = ld(ROW_MX); my = ld(ROW_MY); mz = ld(ROW_MZ)
+    rad = ld(ROW_RAD)
 
     ccx = cx + tm * mx   # src/sphere.h:68-72 motion lerp
     ccy = cy + tm * my
@@ -119,15 +127,15 @@ def _sphere_test(sph_ref, s, rays, hc, t_min):
     hy = jnp.where(better, ccy, hy)
     hz = jnp.where(better, ccz, hz)
     hrad = jnp.where(better, rad, hrad)
-    hmat = jnp.where(better, sph_ref[ROW_MAT, s], hmat)
-    har = jnp.where(better, sph_ref[ROW_AR, s], har)
-    hag = jnp.where(better, sph_ref[ROW_AG, s], hag)
-    hab = jnp.where(better, sph_ref[ROW_AB, s], hab)
-    hfz = jnp.where(better, sph_ref[ROW_FUZZ, s], hfz)
-    hio = jnp.where(better, sph_ref[ROW_IOR, s], hio)
+    hmat = jnp.where(better, ld(ROW_MAT), hmat)
+    har = jnp.where(better, ld(ROW_AR), har)
+    hag = jnp.where(better, ld(ROW_AG), hag)
+    hab = jnp.where(better, ld(ROW_AB), hab)
+    hfz = jnp.where(better, ld(ROW_FUZZ), hfz)
+    hio = jnp.where(better, ld(ROW_IOR), hio)
     # winner index as f32 (scalar broadcast; exact below 2^24 spheres) —
     # recorded by the path-replay backward (grad/replay.py)
-    bs = jnp.where(better, jnp.float32(0) + s, bs)
+    bs = jnp.where(better, jnp.float32(0) + s_global, bs)
     return (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio, bs)
 
 
@@ -293,50 +301,28 @@ def _pack_any_bits(slab, n: int, base=0):
     """Pack "any lane hit box base+k" bits for k in [0, n), n <= WORD, into
     ONE int32 scalar with a single vector->scalar sync. `n` must be static;
     `base` may be a traced scalar (dynamic SMEM column loads are free).
-
-    Per group of 8 boxes: collapse sublanes with a max -> (1,128) each,
-    stack -> (8,128), one MXU matmul against ones(128,128) broadcasts the
-    per-box lane count across lanes; weight row r of group g by 2^(8g+r)
-    and sum over sublanes — every lane of the (1,128) result holds the same
-    <=24-bit word, exact in f32 (each row spans <=17 mantissa bits, the
-    cross-row sum <=24). One jnp.max extracts it."""
-    import os
-
-    if os.environ.get("RTP_PACK", "mxu") == "reduce":
-        # lane-reduction variant: per group, cross-lane max -> (8,1), weight
-        # rows by 2^(8g+r), accumulate; ONE final scalar sum is the sync.
-        w8 = _row_weights()[:, :1]
-        acc = None
-        for g in range(0, n, SUB):
-            cnt = min(SUB, n - g)
-            rows = [
-                jnp.max(slab(base + g + r), axis=0, keepdims=True)
-                for r in range(cnt)
-            ]
-            if cnt < SUB:
-                rows += [jnp.zeros((1, LANES), jnp.float32)] * (SUB - cnt)
-            grp = jnp.concatenate(rows, axis=0)
-            lane_any = jnp.max(grp, axis=1, keepdims=True)  # (8, 1)
-            bits = jnp.where(lane_any > 0.0, w8 * float(1 << g), 0.0)
-            acc = bits if acc is None else acc + bits
-        return jnp.sum(acc).astype(jnp.int32)  # the one sync
-
-    ones = jnp.ones((LANES, LANES), jnp.float32)
-    wrow = _row_weights()
+    Exact in f32: each 8-row group spans <=17 mantissa bits and the
+    cross-group sum <=24."""
+    # Per group of 8 boxes: collapse sublanes with a max -> (1,128) each,
+    # stack -> (8,128), cross-lane max -> (8,1), weight row r of group g by
+    # 2^(8g+r), accumulate groups; ONE final scalar sum is the sync. (An
+    # MXU-matmul formulation measured identical throughput — the pack is
+    # not the bottleneck — so the simpler reduction form is kept.)
+    w8 = _row_weights()[:, :1]
     acc = None
     for g in range(0, n, SUB):
         cnt = min(SUB, n - g)
         rows = [
-            jnp.max(slab(base + g + r), axis=0, keepdims=True) for r in range(cnt)
+            jnp.max(slab(base + g + r), axis=0, keepdims=True)
+            for r in range(cnt)
         ]
         if cnt < SUB:
             rows += [jnp.zeros((1, LANES), jnp.float32)] * (SUB - cnt)
         grp = jnp.concatenate(rows, axis=0)
-        counts = jax.lax.dot(grp, ones, preferred_element_type=jnp.float32)
-        bits = jnp.where(counts > 0.0, wrow * float(1 << g), 0.0)
+        lane_any = jnp.max(grp, axis=1, keepdims=True)  # (8, 1)
+        bits = jnp.where(lane_any > 0.0, w8 * float(1 << g), 0.0)
         acc = bits if acc is None else acc + bits
-    word_tile = jnp.sum(acc, axis=0, keepdims=True)
-    return jnp.max(word_tile).astype(jnp.int32)  # the one sync
+    return jnp.sum(acc).astype(jnp.int32)  # the one sync
 
 
 def _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref,
@@ -468,7 +454,7 @@ def _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref,
 def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
                  dx_ref, dy_ref, dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
                  *, max_depth: int, t_min: float, res_refs=None,
-                 init_refs=None, state_out_refs=None):
+                 init_refs=None, state_out_refs=None, inject_bug=None):
     """Shared kernel body: depth loop of (closest hit -> shade/scatter).
 
     `res_refs` = (code, ndx, ndy, ndz) VMEM refs of shape
@@ -579,7 +565,12 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
         r0s = (1.0 - ratio) / (1.0 + ratio)
         r0s = r0s * r0s
         one_m = 1.0 - cos_t
-        schlick = r0s + (1.0 - r0s) * one_m * one_m * one_m * one_m * one_m
+        if inject_bug == "schlick3":
+            # fault injection (test fixture): wrong Schlick exponent — the
+            # per-material-region statistics test must detect this
+            schlick = r0s + (1.0 - r0s) * one_m * one_m * one_m
+        else:
+            schlick = r0s + (1.0 - r0s) * one_m * one_m * one_m * one_m * one_m
         do_refl = cannot | (schlick > _uniform(shape))
         # refract (src/vec3.h:153-158)
         perp_x = ratio * (udx + cos_t * nx)
@@ -673,14 +664,14 @@ def _megakernel(
     sph_ref,   # SMEM (N_ROWS, N)
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,  # VMEM (8, 128)
     rr_ref, rg_ref, rb_ref,  # outputs (8, 128)
-    *, n_spheres: int, max_depth: int, t_min: float,
+    *, n_spheres: int, max_depth: int, t_min: float, inject_bug=None,
 ):
     def hit(rays, shape):
         return _closest_hit_brute(sph_ref, rays, t_min, n_spheres, shape)
 
     _bounce_loop(seed_ref, hit, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                  dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
-                 max_depth=max_depth, t_min=t_min)
+                 max_depth=max_depth, t_min=t_min, inject_bug=inject_bug)
 
 
 def _megakernel_bvh(
@@ -690,14 +681,14 @@ def _megakernel_bvh(
     ni_ref,    # SMEM (3, M) int32 (miss, leaf_start, leaf_count)
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
     rr_ref, rg_ref, rb_ref,
-    *, max_depth: int, t_min: float,
+    *, max_depth: int, t_min: float, inject_bug=None,
 ):
     def hit(rays, shape):
         return _closest_hit_bvh(sph_ref, nf_ref, ni_ref, rays, t_min, shape)
 
     _bounce_loop(seed_ref, hit, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                  dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
-                 max_depth=max_depth, t_min=t_min)
+                 max_depth=max_depth, t_min=t_min, inject_bug=inject_bug)
 
 
 def _megakernel_front(
@@ -711,7 +702,7 @@ def _megakernel_front(
     rr_ref, rg_ref, rb_ref,
     livew_ref,  # SMEM (1, n_words) int32 scratch — compacted live word ids
     live_ref,  # SMEM (2, WORD) int32 scratch — compacted live (start, count)
-    *, n_front: int, max_depth: int, t_min: float,
+    *, n_front: int, max_depth: int, t_min: float, inject_bug=None,
 ):
     def hit(rays, shape):
         return _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref,
@@ -720,7 +711,7 @@ def _megakernel_front(
 
     _bounce_loop(seed_ref, hit, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                  dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
-                 max_depth=max_depth, t_min=t_min)
+                 max_depth=max_depth, t_min=t_min, inject_bug=inject_bug)
 
 
 class FrontTables:
@@ -881,7 +872,7 @@ def _scene_table(scene: Scene) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_depth", "t_min", "interpret")
+    jax.jit, static_argnames=("max_depth", "t_min", "interpret", "inject_bug")
 )
 def pallas_trace_paths(
     origin: jnp.ndarray,     # [R, 3]
@@ -894,6 +885,7 @@ def pallas_trace_paths(
     interpret: bool = False,
     bvh=None,                # FlatBVH over `scene` (already in leaf order)
     front=None,              # FrontTables (wins over bvh when both given)
+    inject_bug: str | None = None,  # fault injection (tests only)
 ) -> jnp.ndarray:
     """Radiance [R, 3] for camera rays — full path trace in one kernel.
 
@@ -923,10 +915,33 @@ def pallas_trace_paths(
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     scratch_shapes = []
-    if front is not None:
+    if front is not None and isinstance(front, FrontTablesHBM):
         n_front = front.ff.shape[1]
         kernel = functools.partial(
-            _megakernel_front, n_front=n_front, max_depth=max_depth, t_min=t_min
+            _megakernel_front_hbm, n_front=n_front, max_depth=max_depth,
+            t_min=t_min, inject_bug=inject_bug,
+        )
+        in_specs = [
+            smem((1, 1)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # sphere table stays in HBM
+            smem((8, n_front)), smem((1, n_front)),
+            smem(front.wf.shape), smem(front.sf.shape),
+        ]
+        args = (
+            jnp.asarray(seed, jnp.int32).reshape(1, 1),
+            front.sph, front.ff, front.fi, front.wf, front.sf,
+        )
+        scratch_shapes = [
+            pltpu.SMEM((1, n_front // WORD), jnp.int32),
+            pltpu.SMEM((2, WORD), jnp.int32),
+            pltpu.SMEM((2 * N_ROWS, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    elif front is not None:
+        n_front = front.ff.shape[1]
+        kernel = functools.partial(
+            _megakernel_front, n_front=n_front, max_depth=max_depth,
+            t_min=t_min, inject_bug=inject_bug,
         )
         in_specs = [
             smem((1, 1)), smem(front.sph.shape),
@@ -943,7 +958,8 @@ def pallas_trace_paths(
         ]
     elif bvh is None:
         kernel = functools.partial(
-            _megakernel, n_spheres=n, max_depth=max_depth, t_min=t_min
+            _megakernel, n_spheres=n, max_depth=max_depth, t_min=t_min,
+            inject_bug=inject_bug,
         )
         in_specs = [smem((1, 1)), smem((N_ROWS, n))]
         args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), _scene_table(scene))
@@ -956,7 +972,10 @@ def pallas_trace_paths(
         ni = jnp.stack([
             bvh.miss_link, bvh.leaf_start, bvh.leaf_count
         ]).astype(jnp.int32)
-        kernel = functools.partial(_megakernel_bvh, max_depth=max_depth, t_min=t_min)
+        kernel = functools.partial(
+            _megakernel_bvh, max_depth=max_depth, t_min=t_min,
+            inject_bug=inject_bug,
+        )
         in_specs = [smem((1, 1)), smem((N_ROWS, n)), smem((6, m)), smem((3, m))]
         args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), _scene_table(scene), nf, ni)
 
@@ -1311,3 +1330,239 @@ def pallas_trace_paths_segmented(
     inv = jnp.argsort(slot)
     rad = jnp.stack([state[10], state[11], state[12]], axis=-1)
     return jnp.take(rad, inv, axis=0)[:R]
+
+
+# ---------------------------------------------------------------------------
+# HBM-staged front: scenes past the ~1 MiB SMEM budget (~16k spheres).
+#
+# The sphere table lives in HBM, laid out one 128-column block per front
+# subtree (DMA slices must be 128-lane aligned); the box/index tables stay
+# in SMEM (F <= 13824 boxes is KBs). Stage 2 double-buffers: while one live
+# subtree's block is being scanned, the next one's (N_ROWS, 128) block
+# (8 KB) is already in flight HBM -> SMEM. Per-bounce HBM traffic is
+# 8 KB x live subtrees per tile — sub-linear in scene size exactly like the
+# SMEM front, with an O(N) one-time build. This is the design the reference
+# could never express: its GPU path capped the scene at a 200-sphere SSBO
+# (src/vulkan/graphical_environment_vulkan.h:141).
+# ---------------------------------------------------------------------------
+
+BLOCK = LANES  # spheres per HBM subtree block (one aligned DMA)
+
+
+class FrontTablesHBM:
+    """Device tables for the HBM-staged front megakernel."""
+
+    def __init__(self, sph: jnp.ndarray, ff: jnp.ndarray, fi: jnp.ndarray,
+                 wf: jnp.ndarray, sf: jnp.ndarray,
+                 remap: jnp.ndarray | None = None):
+        self.sph = sph  # (N_ROWS, F*BLOCK) HBM table, block k = subtree k
+        self.ff = ff    # (8, F) f32 subtree boxes
+        self.fi = fi    # (1, F) i32 padded counts (starts are implicit k*BLOCK)
+        self.wf = wf
+        self.sf = sf
+        self.remap = remap  # (F*BLOCK,) i32 column -> scene index
+
+    def tree_flatten(self):
+        return (self.sph, self.ff, self.fi, self.wf, self.sf, self.remap), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+jax.tree_util.register_pytree_node(
+    FrontTablesHBM,
+    lambda t: t.tree_flatten(),
+    FrontTablesHBM.tree_unflatten,
+)
+
+
+def front_tables_hbm(scene: Scene, bvh, max_nodes: int | None = None) -> FrontTablesHBM:
+    """Build HBM-staged front tables. `scene` MUST be in BVH leaf order."""
+    import numpy as np
+
+    from raytracingproject_tpu.bvh import bvh_front
+
+    n = int(scene.radius.shape[0])
+    if max_nodes is None:
+        max_nodes = max(1, round(n / 26 / WORD)) * WORD
+        max_nodes = min(max_nodes, WORD * WORD * WORD)
+    fr = bvh_front(bvh, max_nodes=max_nodes, max_count=BLOCK)
+    f_real = fr.start.shape[0]
+    f_pad = ((f_real + WORD - 1) // WORD) * WORD
+    sph = np.asarray(_scene_table(scene))
+
+    blocks = np.zeros((N_ROWS, f_pad * BLOCK), np.float32)
+    remap = np.zeros(f_pad * BLOCK, np.int32)
+    counts = np.zeros(f_pad, np.int32)
+    fmin = np.full((f_pad, 3), 1e30, np.float32)
+    fmax = np.full((f_pad, 3), 1e30, np.float32)
+    for k in range(f_real):
+        s, c = int(fr.start[k]), int(fr.count[k])
+        if c == 0:
+            continue
+        assert c <= BLOCK, f"subtree {k} holds {c} > {BLOCK} spheres"
+        cp = ((c + UNROLL - 1) // UNROLL) * UNROLL
+        blk = sph[:, s : s + c]
+        ids = np.arange(s, s + c, dtype=np.int32)
+        pad_c = cp - c
+        if pad_c:
+            blk = np.concatenate([blk, np.repeat(blk[:, -1:], pad_c, axis=1)], axis=1)
+            ids = np.concatenate([ids, np.repeat(ids[-1:], pad_c)])
+        blocks[:, k * BLOCK : k * BLOCK + cp] = blk
+        remap[k * BLOCK : k * BLOCK + cp] = ids
+        counts[k] = cp
+        fmin[k] = fr.fmin[k]
+        fmax[k] = fr.fmax[k]
+
+    ff = np.zeros((8, f_pad), np.float32)
+    ff[0:3] = fmin.T
+    ff[3:6] = fmax.T
+    fi = counts[None, :]
+
+    n_words = f_pad // WORD
+    n_super = (n_words + WORD - 1) // WORD
+    n_words_pad = n_super * WORD if n_super > 1 else n_words
+    wf = np.full((8, n_words_pad), 1e30, np.float32)
+    wf[6:8] = 0.0
+    for wd in range(n_words):
+        sl = slice(wd * WORD, (wd + 1) * WORD)
+        real = counts[sl] > 0
+        if real.any():
+            wf[0:3, wd] = fmin[sl][real].min(axis=0)
+            wf[3:6, wd] = fmax[sl][real].max(axis=0)
+    sf = np.full((8, max(n_super, 1)), 1e30, np.float32)
+    sf[6:8] = 0.0
+    for sw in range(n_super):
+        sl = slice(sw * WORD, min((sw + 1) * WORD, n_words))
+        real = wf[0, sl] < 1e29
+        if real.any():
+            sf[0:3, sw] = wf[0:3, sl][:, real].min(axis=1)
+            sf[3:6, sw] = wf[3:6, sl][:, real].max(axis=1)
+    return FrontTablesHBM(
+        jnp.asarray(blocks), jnp.asarray(ff), jnp.asarray(fi),
+        jnp.asarray(wf), jnp.asarray(sf), jnp.asarray(remap),
+    )
+
+
+def _closest_hit_front_hbm(sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref,
+                           livew_ref, live_ref, stage, sems, rays, t_min,
+                           n_front, shape):
+    """Hierarchical front culling with the sphere table in HBM.
+
+    Stage 1 (live word list) is identical to the SMEM front. Stage 2
+    double-buffers each live subtree's (N_ROWS, BLOCK) block into SMEM
+    scratch `stage` while the previous block is being scanned."""
+    n_words = n_front // WORD
+    n_super = (n_words + WORD - 1) // WORD
+    hc = _hit_init(shape)
+
+    if n_words == 1:
+        livew_ref[0, 0] = jnp.int32(0)
+        n_live_w = jnp.int32(1)
+    else:
+        slab_w = _slab_factory(wf_ref, rays, t_min)
+
+        def extract_words(wword, wbase, c0):
+            def extract(k, c):
+                bit = jax.lax.shift_right_logical(wword, k) & 1
+
+                @pl.when(bit > 0)
+                def _():
+                    livew_ref[0, c] = wbase + k
+
+                return c + bit
+
+            return jax.lax.fori_loop(0, WORD, extract, c0)
+
+        if n_super == 1:
+            wword = _pack_any_bits(slab_w, n_words)
+            n_live_w = extract_words(wword, 0, jnp.int32(0))
+        else:
+            slab_s = _slab_factory(sf_ref, rays, t_min)
+            sword = _pack_any_bits(slab_s, n_super)
+
+            def super_body(sw, c):
+                bit = jax.lax.shift_right_logical(sword, sw) & 1
+
+                def live_fn(cc):
+                    wword = _pack_any_bits(slab_w, WORD, base=sw * WORD)
+                    return extract_words(wword, sw * WORD, cc)
+
+                return jax.lax.cond(bit > 0, live_fn, lambda cc: cc, c)
+
+            n_live_w = jax.lax.fori_loop(0, n_super, super_body, jnp.int32(0))
+
+    def word_body(l, h):
+        w = livew_ref[0, l]
+        slab_f = _slab_factory(ff_ref, rays, t_min, bt=h[0])
+        word = _pack_any_bits(slab_f, WORD, base=w * WORD)
+
+        def extract(k, c):
+            bit = jax.lax.shift_right_logical(word, k) & 1
+
+            @pl.when(bit > 0)
+            def _():
+                live_ref[0, c] = w * WORD + k           # subtree id
+                live_ref[1, c] = fi_ref[0, w * WORD + k]  # padded count
+
+            return c + bit
+
+        n_live = jax.lax.fori_loop(0, WORD, extract, jnp.int32(0))
+
+        def dma_for(li, slot):
+            sid = live_ref[0, li]
+            col = pl.multiple_of(sid * BLOCK, BLOCK)
+            return pltpu.make_async_copy(
+                sph_hbm.at[:, pl.ds(col, BLOCK)],
+                stage.at[pl.ds(slot * N_ROWS, N_ROWS), :],
+                sems.at[slot],
+            )
+
+        @pl.when(n_live > 0)
+        def _():
+            dma_for(0, 0).start()
+
+        def live_body(l2, hh):
+            slot = jnp.bitwise_and(l2, 1)
+
+            @pl.when(l2 + 1 < n_live)
+            def _():
+                dma_for(l2 + 1, 1 - slot).start()
+
+            dma_for(l2, slot).wait()
+            sid = live_ref[0, l2]
+            cnt = live_ref[1, l2]
+
+            def inner(q, hhh):
+                for u in range(UNROLL):
+                    s_loc = q * UNROLL + u
+                    hhh = _sphere_test_ld(
+                        lambda row, s_loc=s_loc: stage[slot * N_ROWS + row, s_loc],
+                        sid * BLOCK + s_loc, rays, hhh, t_min,
+                    )
+                return hhh
+
+            return jax.lax.fori_loop(0, cnt // UNROLL, inner, hh)
+
+        return jax.lax.fori_loop(0, n_live, live_body, h)
+
+    return jax.lax.fori_loop(0, n_live_w, word_body, hc)
+
+
+def _megakernel_front_hbm(
+    seed_ref, sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+    rr_ref, rg_ref, rb_ref,
+    livew_ref, live_ref, stage, sems,
+    *, n_front: int, max_depth: int, t_min: float, inject_bug=None,
+):
+    def hit(rays, shape):
+        return _closest_hit_front_hbm(
+            sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref, live_ref,
+            stage, sems, rays, t_min, n_front, shape,
+        )
+
+    _bounce_loop(seed_ref, hit, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                 dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
+                 max_depth=max_depth, t_min=t_min, inject_bug=inject_bug)

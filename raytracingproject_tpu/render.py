@@ -361,10 +361,17 @@ def render(
             # The front-culled scan beats both brute force and the
             # tile-uniform traversal on TPU (megakernel.py:_closest_hit_front
             # docstring has the numbers); the megakernel takes it instead of
-            # the node-walking BVH.
-            from raytracingproject_tpu.ops.pallas.megakernel import front_tables
+            # the node-walking BVH. Scenes past the ~1 MiB SMEM budget
+            # (~16k spheres) use the HBM-staged front (double-buffered DMA
+            # of live subtree blocks).
+            from raytracingproject_tpu.ops.pallas.megakernel import (
+                front_tables, front_tables_hbm,
+            )
 
-            front = front_tables(scene, bvh)
+            try:
+                front = front_tables(scene, bvh)
+            except ValueError:
+                front = front_tables_hbm(scene, bvh)
             bvh = None
 
     pixels = width * height

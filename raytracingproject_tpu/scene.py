@@ -165,6 +165,72 @@ def make_cover_scene(seed: int = 0, dtype=jnp.float32) -> Scene:
     return b.build(dtype)
 
 
+def make_cover_scene_reference(dtype=jnp.float32, arg_order: str = "rl") -> Scene:
+    """The cover scene with the EXACT sphere layout of the reference's
+    committed golden render.
+
+    The reference generates the scene from one default-seeded global
+    std::mt19937 (src/rtweekend.h:25-29, src/main.cpp:17-43); that stream
+    is deterministic, so replaying it bit-exactly (utils/mt19937.py)
+    reproduces the same ~485 sphere positions/materials that produced
+    /root/reference/image.ppm — which is what makes per-pixel golden-image
+    comparison meaningful (any per-pixel difference is then Monte-Carlo
+    sampling noise, not a different scene).
+
+    `arg_order` resolves the one piece the C++ standard leaves open:
+    evaluation order of function arguments in `point3(a + 0.9*rd(), 0.2,
+    b + 0.9*rd())` and `vec3(rd(), rd(), rd())` (src/main.cpp:20,
+    src/vec3.h:63-69). "rl" = right-to-left (MSVC's order — the golden
+    image came from the author's Windows build), "lr" = left-to-right.
+    The golden test pins the order that matches the committed image.
+    """
+    from raytracingproject_tpu.utils.mt19937 import MT19937
+
+    gen = MT19937()
+    rl = arg_order == "rl"
+
+    def rd():
+        return gen.canonical()
+
+    def vec_random(lo=0.0, hi=1.0):
+        # vec3(rd, rd, rd): MSVC evaluates the ctor args right-to-left,
+        # so the first draw lands in z (src/vec3.h:63-69)
+        a, b_, c = (gen.uniform(lo, hi) for _ in range(3))
+        return np.array([c, b_, a]) if rl else np.array([a, b_, c])
+
+    b = SceneBuilder()
+    b.add_lambertian((0.0, -1000.0, 0.0), 1000.0, (0.5, 0.5, 0.5))
+
+    for a in range(-11, 11):
+        for c in range(-11, 11):
+            choose_mat = rd()
+            jx, jz = rd(), rd()
+            if rl:
+                jx, jz = jz, jx  # z-arg's draw happened first
+            center = np.array([a + 0.9 * jx, 0.2, c + 0.9 * jz])
+            if np.linalg.norm(center - np.array([4.0, 0.2, 0.0])) <= 0.9:
+                continue
+            if choose_mat < 0.8:
+                # albedo = color::random() * color::random(): with RL
+                # evaluation the RIGHT operand's three draws happen first
+                v1 = vec_random()
+                v2 = vec_random()
+                albedo = (v2 * v1) if rl else (v1 * v2)
+                center2 = center + np.array([0.0, gen.uniform(0.0, 0.5), 0.0])
+                b.add_lambertian(center, 0.2, albedo, center2=center2)
+            elif choose_mat < 0.95:
+                albedo = vec_random(0.5, 1.0)
+                fuzz = gen.uniform(0.0, 0.5)
+                b.add_metal(center, 0.2, albedo, fuzz)
+            else:
+                b.add_dielectric(center, 0.2, 1.5)
+
+    b.add_dielectric((0.0, 1.0, 0.0), 1.0, 1.5)
+    b.add_lambertian((-4.0, 1.0, 0.0), 1.0, (0.4, 0.2, 0.1))
+    b.add_metal((4.0, 1.0, 0.0), 1.0, (0.7, 0.6, 0.5), 0.0)
+    return b.build(dtype)
+
+
 def make_three_sphere_scene(dtype=jnp.float32) -> Scene:
     """Benchmark config 2 (BASELINE.md): lambertian + metal + dielectric trio
     with a ground plane — the classic RTWeekend chapter scene."""

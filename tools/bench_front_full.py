@@ -22,7 +22,7 @@ enable_compilation_cache()
 from raytracingproject_tpu.bvh import build_bvh, reorder_scene
 from raytracingproject_tpu.camera import Camera, generate_rays
 from raytracingproject_tpu.ops.pallas.megakernel import (
-    default_front_nodes, front_tables, pallas_trace_paths,
+    default_front_nodes, front_tables, front_tables_hbm, pallas_trace_paths,
 )
 from raytracingproject_tpu.scene import make_cover_scene, make_random_scene
 from tools.measure import marginal_seconds_per_pass
@@ -46,18 +46,28 @@ def bench_scene(scene, tag: str, fronts=(None,)) -> None:
     bvh = build_bvh(scene, leaf_size=8)
     rscene = reorder_scene(scene, bvh)
 
-    def make_brute(key):
-        return render_pass(rscene, cam, key, width=W, height=H,
-                           max_depth=DEPTH, use_megakernel=True)
+    brute = None
+    try:
+        def make_brute(key):
+            return render_pass(rscene, cam, key, width=W, height=H,
+                               max_depth=DEPTH, use_megakernel=True)
 
-    sec, _ = marginal_seconds_per_pass(make_brute, k1=4, k2=12, reps=3)
-    brute = rays / sec
-    print(json.dumps({"scene": tag, "n": n, "path": "brute",
-                      "mrays_per_s": round(brute / 1e6, 2)}), flush=True)
+        sec, _ = marginal_seconds_per_pass(make_brute, k1=4, k2=12, reps=3)
+        brute = rays / sec
+        print(json.dumps({"scene": tag, "n": n, "path": "brute",
+                          "mrays_per_s": round(brute / 1e6, 2)}), flush=True)
+    except Exception as e:  # >16k spheres: brute's SMEM table cannot exist
+        print(json.dumps({"scene": tag, "n": n, "path": "brute",
+                          "error": str(e)[:120]}), flush=True)
 
     for f in fronts:
         fn = default_front_nodes(n) if f is None else f
-        front = front_tables(rscene, bvh, max_nodes=fn)
+        try:
+            front = front_tables(rscene, bvh, max_nodes=fn)
+            label = f"front_{fn}"
+        except ValueError:
+            front = front_tables_hbm(rscene, bvh, max_nodes=fn)
+            label = f"front_hbm_{front.ff.shape[1]}"
 
         def make_front(key, front=front):
             return render_pass(rscene, cam, key, width=W, height=H,
@@ -66,9 +76,11 @@ def bench_scene(scene, tag: str, fronts=(None,)) -> None:
 
         sec, _ = marginal_seconds_per_pass(make_front, k1=4, k2=12, reps=3)
         fr = rays / sec
-        print(json.dumps({"scene": tag, "n": n, "path": f"front_{fn}",
-                          "mrays_per_s": round(fr / 1e6, 2),
-                          "vs_brute": round(fr / brute, 2)}), flush=True)
+        row = {"scene": tag, "n": n, "path": label,
+               "mrays_per_s": round(fr / 1e6, 2)}
+        if brute:
+            row["vs_brute"] = round(fr / brute, 2)
+        print(json.dumps(row), flush=True)
 
 
 def main() -> None:
@@ -76,9 +88,12 @@ def main() -> None:
     for ne in extras:
         if ne == 0:
             bench_scene(make_cover_scene(seed=0), "cover488", fronts=(None, 48))
-        else:
+        elif ne <= 15000:
             bench_scene(make_random_scene(ne, seed=3), f"random{ne}",
                         fronts=(None, 192, 240))
+        else:
+            bench_scene(make_random_scene(ne, seed=3), f"random{ne}",
+                        fronts=(None,))
 
 
 if __name__ == "__main__":
