@@ -47,6 +47,61 @@ from raytracingproject_tpu.render import ray_color, sky_color
 from raytracingproject_tpu.scene import Scene
 
 
+def _topk_candidates(
+    s: Scene,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    time: jnp.ndarray,
+    k: int,
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """[R, k] indices of the spheres with the largest signed silhouette
+    distance per ray — the candidate set for the O(R*k) soft-visibility
+    estimator. Runs in sphere CHUNKS with a streaming top-k merge, so peak
+    memory is O(R * (chunk + 2k)) regardless of scene size (the dense
+    estimator materializes [R, N], hopeless at cover-scene scale —
+    round-2 VERDICT missing #5). Entirely under stop_gradient: candidate
+    SELECTION is piecewise-constant in the parameters (ties contribute no
+    gradient a.e.), the k selected spheres' terms are re-derived
+    differentiably by the caller."""
+    sg = jax.lax.stop_gradient
+    n = s.radius.shape[0]
+    R = origin.shape[0]
+    a = jnp.maximum(dot(direction, direction), 1e-20)[:, None]
+
+    # invalid slots carry index -1: a slot never filled by a real candidate
+    # must NOT alias sphere 0 (a duplicated sphere would enter the caller's
+    # soft-union product twice and change v)
+    best_v = jnp.full((R, k), -jnp.inf)
+    best_i = jnp.full((R, k), -1, jnp.int32)
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        ctr = sg(s.center0[c0:c1])[None] + time[:, None, None] * sg(
+            s.center_delta[c0:c1]
+        )[None]
+        oc = origin[:, None, :] - ctr
+        half_b = jnp.einsum("rnc,rc->rn", oc, direction)
+        rad = sg(s.radius[c0:c1])
+        cq = dot(oc, oc) - rad[None, :] ** 2
+        disc = half_b * half_b - a * cq
+        r_safe = jnp.where(rad != 0.0, jnp.abs(rad), 1.0)
+        sdist = disc / (a * 2.0 * r_safe[None, :])
+        t_star = -half_b / a
+        dpos = disc > 0.0
+        sq = jnp.sqrt(jnp.where(dpos, disc, 1.0))
+        r1 = (-half_b + sq) / a
+        valid = dpos & (r1 > T_MIN)
+        contributes = (t_star > T_MIN) | valid
+        sdist = jnp.where(contributes, sdist, -jnp.inf)
+        kk = min(k, c1 - c0)
+        v, i = jax.lax.top_k(sdist, kk)
+        cat_v = jnp.concatenate([best_v, v], axis=1)
+        cat_i = jnp.concatenate([best_i, i.astype(jnp.int32) + c0], axis=1)
+        best_v, sel = jax.lax.top_k(cat_v, k)
+        best_i = jnp.take_along_axis(cat_i, sel, axis=1)
+    return sg(best_i)
+
+
 def soft_primary_radiance(
     params: SceneParams,
     scene: Scene,
@@ -56,21 +111,49 @@ def soft_primary_radiance(
     key: jax.Array,
     max_depth: int,
     softness: float = 0.02,
+    candidates_k: int | None = None,
 ) -> jnp.ndarray:
     """Radiance [R, 3] with smoothed primary visibility (module docstring).
 
     softness is the silhouette smoothing width in WORLD units; it should be
-    on the order of the pixel footprint at the scene distance."""
+    on the order of the pixel footprint at the scene distance.
+
+    `candidates_k` switches to the scalable O(R*k) estimator: a streaming
+    top-k pass (stop-gradient) picks the k nearest-silhouette spheres per
+    ray, and the differentiable math below runs on those candidates only.
+    With k >= the number of spheres whose silhouette band a ray can touch,
+    the estimator is EXACT-equal to the dense one (the soft-union factors
+    of far spheres are exactly 1 - sigmoid(very negative) = 1-0); the FD
+    test asserts dense == topk on the small scene."""
     s = apply_params(scene, params)
     k0, k1 = jax.random.split(key)
 
-    # primary intersection against every sphere, keeping the discriminant
-    center = s.center0[None, :, :] + time[:, None, None] * s.center_delta[None, :, :]
-    oc = origin[:, None, :] - center                       # [R, N, 3]
+    if candidates_k is not None:
+        cand = _topk_candidates(s, origin, direction, time, candidates_k)
+        col_ok = cand >= 0                              # real candidates only
+        cand = jnp.maximum(cand, 0)
+        # differentiable per-candidate attribute gather ([R, k] takes over
+        # small k; backward scatter-adds are k/N of the dense cost)
+        c0_g = jnp.take(s.center0, cand, axis=0)        # [R, k, 3]
+        cd_g = jnp.take(s.center_delta, cand, axis=0)
+        rad_g = jnp.take(s.radius, cand)                # [R, k]
+        center = c0_g + time[:, None, None] * cd_g
+        n_cols = cand
+    else:
+        col_ok = None
+        center = (
+            s.center0[None, :, :]
+            + time[:, None, None] * s.center_delta[None, :, :]
+        )
+        rad_g = jnp.broadcast_to(s.radius[None, :], (origin.shape[0], s.radius.shape[0]))
+        n_cols = None
+
+    # primary intersection against every candidate, keeping the discriminant
+    oc = origin[:, None, :] - center                       # [R, N|k, 3]
     a = jnp.maximum(dot(direction, direction), 1e-20)[:, None]
     half_b = jnp.einsum("rnc,rc->rn", oc, direction)
-    cq = dot(oc, oc) - s.radius[None, :] ** 2
-    disc = half_b * half_b - a * cq                        # [R, N]
+    cq = dot(oc, oc) - rad_g ** 2
+    disc = half_b * half_b - a * cq                        # [R, N|k]
     dpos = disc > 0.0
     sqrtd = jnp.sqrt(jnp.where(dpos, disc, 1.0))
     r0 = (-half_b - sqrtd) / a
@@ -79,19 +162,23 @@ def soft_primary_radiance(
     in1 = (r1 > T_MIN) & (r1 < T_MAX)
     root = jnp.where(in0, r0, r1)
     valid = dpos & (in0 | in1)
+    if col_ok is not None:
+        valid = valid & col_ok
 
     t_masked = jnp.where(valid, root, T_MAX)
     win = jnp.argmin(t_masked, axis=-1).astype(jnp.int32)
     t = jnp.take_along_axis(t_masked, win[:, None], axis=-1)[:, 0]
     hit = jnp.isfinite(t)
 
-    # Signed silhouette distance per (ray, sphere); spheres behind the ray
-    # (closest approach at t* = -hb/a <= t_min and no valid root) never
+    # Signed silhouette distance per (ray, candidate); spheres behind the
+    # ray (closest approach at t* = -hb/a <= t_min and no valid root) never
     # contribute.
-    r_safe = jnp.where(s.radius != 0.0, jnp.abs(s.radius), 1.0)
-    sdist_all = disc / (a * 2.0 * r_safe[None, :])         # [R, N], world units
+    r_safe = jnp.where(rad_g != 0.0, jnp.abs(rad_g), 1.0)
+    sdist_all = disc / (a * 2.0 * r_safe)                  # [R, N|k], world units
     t_star = -half_b / a                                   # closest approach
     contributes = (t_star > T_MIN) | valid
+    if col_ok is not None:
+        contributes = contributes & col_ok
     sdist_masked = jnp.where(contributes, sdist_all, -jnp.inf)
 
     # SOFT-UNION visibility: v = 1 - prod_i (1 - sigmoid(sdist_i/w)).
@@ -116,6 +203,12 @@ def soft_primary_radiance(
                        jnp.maximum(t_star_sel, T_MIN))
     p = origin + t_used[:, None] * direction
     hit_center = jnp.take_along_axis(center, sel[:, None, None], axis=1)[:, 0]
+    # HitRecord.idx must be a true scene index (scatter() gathers material
+    # attributes by it); with candidates, `sel` is a column of the top-k set
+    sel_scene = (
+        jnp.take_along_axis(n_cols, sel[:, None], axis=1)[:, 0]
+        if n_cols is not None else sel
+    )
     off = p - hit_center
     outward = off / jnp.maximum(
         jnp.sqrt(jnp.maximum(dot(off, off), 1e-20)), 1e-10
@@ -124,7 +217,7 @@ def soft_primary_radiance(
     # fp noise, so force front there (continuous with the exterior-hit limit)
     front_face = jnp.where(hit, dot(direction, outward) < 0.0, True)
     normal = jnp.where(front_face[:, None], outward, -outward)
-    rec = HitRecord(t=t_used, idx=sel, hit=hit, p=p, normal=normal,
+    rec = HitRecord(t=t_used, idx=sel_scene, hit=hit, p=p, normal=normal,
                     front_face=front_face)
 
     # surface radiance: exact estimator for the rest of the path, evaluated
@@ -146,6 +239,7 @@ def make_soft_train_step(
     softness: float = 0.02,
     learning_rate: float = 2e-2,
     trainable: tuple[str, ...] | None = None,
+    candidates_k: int | None = None,
 ):
     """Inverse-rendering step with silhouette gradients (BASELINE config 4
     geometry recovery). Same contract as grad.inverse.make_train_step."""
@@ -181,7 +275,8 @@ def make_soft_train_step(
         k_ray, k_path = jax.random.split(key)
         o, d, t = generate_rays(cam, i_idx, j_idx, k_ray)
         rad = soft_primary_radiance(
-            params, scene, o, d, t, k_path, max_depth, w
+            params, scene, o, d, t, k_path, max_depth, w,
+            candidates_k=candidates_k,
         )
         img = rad.reshape(spp, height, width, 3).mean(axis=0)
         return jnp.mean((img - target) ** 2)
