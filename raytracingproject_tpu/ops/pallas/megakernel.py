@@ -454,7 +454,8 @@ def _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref,
 def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
                  dx_ref, dy_ref, dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
                  *, max_depth: int, t_min: float, res_refs=None,
-                 init_refs=None, state_out_refs=None, inject_bug=None):
+                 init_refs=None, state_out_refs=None, inject_bug=None,
+                 miss_refs=None, miss_init_refs=None):
     """Shared kernel body: depth loop of (closest hit -> shade/scatter).
 
     `res_refs` = (code, ndx, ndy, ndz) VMEM refs of shape
@@ -472,7 +473,18 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
     deeper bounce loop: the caller carries ray state across kernel launches
     and compacts still-alive rays between segments
     (pallas_trace_paths_segmented) — the stream-compaction design of
-    SURVEY.md §7 at segment granularity."""
+    SURVEY.md §7 at segment granularity.
+
+    `miss_refs` = (mdx, mdy, mdz, mtr, mtg, mtb) output refs of shape
+    (SUB, LANES): when given, the hardcoded sky gradient is NOT accumulated
+    in-kernel; instead the miss direction and the throughput at miss time
+    are recorded (a path misses at most once — the miss retires it — so a
+    plain overwrite is exact). The caller applies any environment radiance
+    outside the kernel: rad += mthr * sky(mdir). This is how `add_texture`'s
+    equirect environment map (render.sky_color) rides the megakernel — the
+    per-lane texture gather TPUs can't do in-kernel becomes one vectorized
+    XLA gather over rays that missed. `miss_init_refs` carries the planes
+    across depth segments (zero direction = "has not missed")."""
     # Two independent seed words (advisor round 1): `seed + program_id` made
     # sample chunks whose seeds differ by < the tile count reuse identical
     # per-tile streams and could overflow int32; feeding the tile index as a
@@ -498,9 +510,18 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
         thr_r, thr_g, thr_b = (r[:] for r in init_refs[0:3])
         rad_r, rad_g, rad_b = (r[:] for r in init_refs[3:6])
         alive = init_refs[6][:]
+    if miss_refs is not None:
+        if miss_init_refs is not None:
+            miss0 = tuple(r[:] for r in miss_init_refs)
+        else:
+            miss0 = tuple(jnp.zeros(shape, jnp.float32) for _ in range(6))
+    else:
+        miss0 = ()
 
     def bounce(dep, carry):
-        ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive = carry
+        (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
+         alive) = carry[:13]
+        miss_c = carry[13:]
 
         a = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20)
         inv_a = 1.0 / a
@@ -526,12 +547,22 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
 
         # ---- sky on miss (src/camera_cpu.h:23-25) ----
         inv_len = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20))
-        sky_a = 0.5 * (dy * inv_len + 1.0)
         alive_b = alive > 0.5
         m = jnp.where(alive_b & ~hit, 1.0, 0.0)
-        rad_r = rad_r + m * thr_r * (1.0 - sky_a + sky_a * 0.5)
-        rad_g = rad_g + m * thr_g * (1.0 - sky_a + sky_a * 0.7)
-        rad_b = rad_b + m * thr_b * (1.0 - sky_a + sky_a * 1.0)
+        if miss_refs is None:
+            sky_a = 0.5 * (dy * inv_len + 1.0)
+            rad_r = rad_r + m * thr_r * (1.0 - sky_a + sky_a * 0.5)
+            rad_g = rad_g + m * thr_g * (1.0 - sky_a + sky_a * 0.7)
+            rad_b = rad_b + m * thr_b * (1.0 - sky_a + sky_a * 1.0)
+        else:
+            # record (direction, throughput) at the miss instead; the caller
+            # adds thr * sky(dir) outside the kernel (env-map support)
+            mdx, mdy, mdz, mtr, mtg, mtb = miss_c
+            miss_c = (
+                jnp.where(m > 0.0, dx, mdx), jnp.where(m > 0.0, dy, mdy),
+                jnp.where(m > 0.0, dz, mdz), jnp.where(m > 0.0, thr_r, mtr),
+                jnp.where(m > 0.0, thr_g, mtg), jnp.where(m > 0.0, thr_b, mtb),
+            )
 
         # ---- scatter (src/material.h) ----
         inv_dlen = inv_len
@@ -631,10 +662,10 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
         dy = jnp.where(dead, 1.0, dy)
         dz = jnp.where(dead, 1.0, dz)
         return (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
-                rad_r, rad_g, rad_b, alive)
+                rad_r, rad_g, rad_b, alive) + miss_c
 
     carry = (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
-             rad_r, rad_g, rad_b, alive)
+             rad_r, rad_g, rad_b, alive) + miss0
     if res_refs is not None:
         # bounces skipped by the early exit keep the DEAD initialization
         # (code = 2 * DEAD = -4)
@@ -646,7 +677,7 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
     # iteration early-exits via a scalar branch once the tile is dead.
     def depth_body(d, c):
         return jax.lax.cond(
-            jnp.max(c[-1]) > 0.5, lambda x: bounce(d, x), lambda x: x, c
+            jnp.max(c[12]) > 0.5, lambda x: bounce(d, x), lambda x: x, c
         )
 
     carry = jax.lax.fori_loop(0, max_depth, depth_body, carry)
@@ -657,21 +688,34 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
     if state_out_refs is not None:
         for ref, val in zip(state_out_refs, carry[0:9] + (carry[12],)):
             ref[:] = val
+    if miss_refs is not None:
+        for ref, val in zip(miss_refs, carry[13:19]):
+            ref[:] = val
+
+
+def _split_outs(outs, record_miss):
+    """(rr, rg, rb), miss_refs from a kernel's output-ref tail."""
+    if record_miss:
+        return outs[:3], outs[3:9]
+    return outs[:3], None
 
 
 def _megakernel(
     seed_ref,  # SMEM (1, 1) int32
     sph_ref,   # SMEM (N_ROWS, N)
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,  # VMEM (8, 128)
-    rr_ref, rg_ref, rb_ref,  # outputs (8, 128)
-    *, n_spheres: int, max_depth: int, t_min: float, inject_bug=None,
+    *rest,     # 7 VMEM ray planes, then 3 radiance outs (+6 miss outs)
+    n_spheres: int, max_depth: int, t_min: float, inject_bug=None,
+    record_miss: bool = False,
 ):
+    ray_refs = rest[:7]
+    (rr_ref, rg_ref, rb_ref), miss_refs = _split_outs(rest[7:], record_miss)
+
     def hit(rays, shape):
         return _closest_hit_brute(sph_ref, rays, t_min, n_spheres, shape)
 
-    _bounce_loop(seed_ref, hit, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-                 dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
-                 max_depth=max_depth, t_min=t_min, inject_bug=inject_bug)
+    _bounce_loop(seed_ref, hit, *ray_refs, rr_ref, rg_ref, rb_ref,
+                 max_depth=max_depth, t_min=t_min, inject_bug=inject_bug,
+                 miss_refs=miss_refs)
 
 
 def _megakernel_bvh(
@@ -679,16 +723,18 @@ def _megakernel_bvh(
     sph_ref,   # SMEM (N_ROWS, N) — MUST be in BVH leaf order
     nf_ref,    # SMEM (6, M) float32 node boxes
     ni_ref,    # SMEM (3, M) int32 (miss, leaf_start, leaf_count)
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
-    rr_ref, rg_ref, rb_ref,
-    *, max_depth: int, t_min: float, inject_bug=None,
+    *rest,
+    max_depth: int, t_min: float, inject_bug=None, record_miss: bool = False,
 ):
+    ray_refs = rest[:7]
+    (rr_ref, rg_ref, rb_ref), miss_refs = _split_outs(rest[7:], record_miss)
+
     def hit(rays, shape):
         return _closest_hit_bvh(sph_ref, nf_ref, ni_ref, rays, t_min, shape)
 
-    _bounce_loop(seed_ref, hit, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-                 dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
-                 max_depth=max_depth, t_min=t_min, inject_bug=inject_bug)
+    _bounce_loop(seed_ref, hit, *ray_refs, rr_ref, rg_ref, rb_ref,
+                 max_depth=max_depth, t_min=t_min, inject_bug=inject_bug,
+                 miss_refs=miss_refs)
 
 
 def _megakernel_front(
@@ -698,20 +744,22 @@ def _megakernel_front(
     fi_ref,    # SMEM (2, F) int32 (start, padded count)
     wf_ref,    # SMEM (8, Wp) float32 word-level union boxes
     sf_ref,    # SMEM (8, S) float32 super-word union boxes
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
-    rr_ref, rg_ref, rb_ref,
-    livew_ref,  # SMEM (1, n_words) int32 scratch — compacted live word ids
-    live_ref,  # SMEM (2, WORD) int32 scratch — compacted live (start, count)
-    *, n_front: int, max_depth: int, t_min: float, inject_bug=None,
+    *rest,     # 7 ray planes, 3 (+6 miss) outs, then the 2 SMEM scratches
+    n_front: int, max_depth: int, t_min: float, inject_bug=None,
+    record_miss: bool = False,
 ):
+    ray_refs = rest[:7]
+    livew_ref, live_ref = rest[-2:]
+    (rr_ref, rg_ref, rb_ref), miss_refs = _split_outs(rest[7:-2], record_miss)
+
     def hit(rays, shape):
         return _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref,
                                   livew_ref, live_ref, rays, t_min, n_front,
                                   shape)
 
-    _bounce_loop(seed_ref, hit, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-                 dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
-                 max_depth=max_depth, t_min=t_min, inject_bug=inject_bug)
+    _bounce_loop(seed_ref, hit, *ray_refs, rr_ref, rg_ref, rb_ref,
+                 max_depth=max_depth, t_min=t_min, inject_bug=inject_bug,
+                 miss_refs=miss_refs)
 
 
 class FrontTables:
@@ -872,7 +920,9 @@ def _scene_table(scene: Scene) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_depth", "t_min", "interpret", "inject_bug")
+    jax.jit,
+    static_argnames=("max_depth", "t_min", "interpret", "inject_bug",
+                     "record_miss"),
 )
 def pallas_trace_paths(
     origin: jnp.ndarray,     # [R, 3]
@@ -886,8 +936,16 @@ def pallas_trace_paths(
     bvh=None,                # FlatBVH over `scene` (already in leaf order)
     front=None,              # FrontTables (wins over bvh when both given)
     inject_bug: str | None = None,  # fault injection (tests only)
+    record_miss: bool = False,
 ) -> jnp.ndarray:
     """Radiance [R, 3] for camera rays — full path trace in one kernel.
+
+    With `record_miss=True` the kernel does NOT add the built-in sky
+    gradient; it returns (radiance, miss_dir [R, 3], miss_thr [R, 3]) where
+    miss_dir/miss_thr are the ray direction and path throughput at the
+    (unique) miss event, zeros for paths that never missed. The caller adds
+    `miss_thr * sky(miss_dir)` — this is how environment-map lighting
+    (render.sky_color with a texture) rides the megakernel.
 
     With `bvh` (a bvh.FlatBVH built over `scene`; the scene MUST already be
     permuted to leaf order via bvh.reorder_scene) closest-hit runs the
@@ -919,7 +977,7 @@ def pallas_trace_paths(
         n_front = front.ff.shape[1]
         kernel = functools.partial(
             _megakernel_front_hbm, n_front=n_front, max_depth=max_depth,
-            t_min=t_min, inject_bug=inject_bug,
+            t_min=t_min, inject_bug=inject_bug, record_miss=record_miss,
         )
         in_specs = [
             smem((1, 1)),
@@ -941,7 +999,7 @@ def pallas_trace_paths(
         n_front = front.ff.shape[1]
         kernel = functools.partial(
             _megakernel_front, n_front=n_front, max_depth=max_depth,
-            t_min=t_min, inject_bug=inject_bug,
+            t_min=t_min, inject_bug=inject_bug, record_miss=record_miss,
         )
         in_specs = [
             smem((1, 1)), smem(front.sph.shape),
@@ -959,7 +1017,7 @@ def pallas_trace_paths(
     elif bvh is None:
         kernel = functools.partial(
             _megakernel, n_spheres=n, max_depth=max_depth, t_min=t_min,
-            inject_bug=inject_bug,
+            inject_bug=inject_bug, record_miss=record_miss,
         )
         in_specs = [smem((1, 1)), smem((N_ROWS, n))]
         args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), _scene_table(scene))
@@ -974,24 +1032,29 @@ def pallas_trace_paths(
         ]).astype(jnp.int32)
         kernel = functools.partial(
             _megakernel_bvh, max_depth=max_depth, t_min=t_min,
-            inject_bug=inject_bug,
+            inject_bug=inject_bug, record_miss=record_miss,
         )
         in_specs = [smem((1, 1)), smem((N_ROWS, n)), smem((6, m)), smem((3, m))]
         args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), _scene_table(scene), nf, ni)
 
-    rr, rg, rb = pl.pallas_call(
+    n_out = 9 if record_miss else 3
+    outs = pl.pallas_call(
         kernel,
         grid=(tiles,),
         in_specs=in_specs + [ray_spec] * 7,
-        out_specs=[ray_spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((tiles * SUB, LANES), jnp.float32)] * 3,
+        out_specs=[ray_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((tiles * SUB, LANES), jnp.float32)]
+        * n_out,
         scratch_shapes=scratch_shapes,
         # TPU interpret params (not plain interpret=True): the hardware PRNG
         # primitives only have lowering rules in the TPU interpreter.
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(*args, *comps)
 
-    rad = jnp.stack([rr.reshape(-1)[:R], rg.reshape(-1)[:R], rb.reshape(-1)[:R]], axis=-1)
+    stack3 = lambda xs: jnp.stack([x.reshape(-1)[:R] for x in xs], axis=-1)
+    rad = stack3(outs[:3])
+    if record_miss:
+        return rad, stack3(outs[3:6]), stack3(outs[6:9])
     return rad
 
 
@@ -1152,74 +1215,99 @@ def pallas_trace_record(
 # ---------------------------------------------------------------------------
 # Segmented deep tracing: megakernel segments + inter-segment compaction.
 #
-# The megakernel's early exit is TILE-granular: one live lane drags its
-# whole 1024-ray tile through every remaining bounce. At the reference's
-# flagship depth 50 (src/main.cpp:59) nearly every tile keeps >=1 live ray
-# for many bounces and throughput collapses ~5x (CONFIG3_r02). Here the
-# depth loop is cut into SEGMENTS of `seg_len` bounces; between segments the
-# still-alive rays are compacted to a dense prefix (a stable sort on the
-# alive bit in XLA — cheap at one sort per seg_len bounces), so dead tiles
-# become *entirely* dead and skip their remaining segments via the existing
-# scalar early exit. This is SURVEY.md §7's "stream compaction" at the
-# granularity TPUs want: no per-bounce scatter, state stays [R]-shaped and
-# statically tiled.
+# MEASURED VERDICT (round 3, real v5e — keep this; do NOT re-enable by
+# default): the design LOSES. At depth 50, 400x225x4spp, cover scene, front
+# culling: monolithic kernel 5.34 Mrays/s; segmented (seg_len 8) 0.48
+# Mrays/s — the per-segment state round-trips through HBM plus the
+# argsort/gather compaction cost ~11x more than tile-granular early exit
+# wastes (front culling makes dead-heavy tiles cheap anyway: dead rays are
+# parked outside every box, so their lanes cull all subtrees). At CONFIG3's
+# 1200x675x4 grid (3168 tiles) the segmented graph additionally FAULTED the
+# TPU worker ("TPU worker process crashed"). Kept as an opt-in,
+# interpret-tested alternative (RenderSettings.depth_segment > 0) and as
+# the measured record of SURVEY §7's "stream compaction" idea at segment
+# granularity — the hypothesis it encodes (one live lane drags 1024 rays
+# through the depth tail) is real, but the monolithic kernel's scalar early
+# exit + dead-ray parking already absorb most of it.
 # ---------------------------------------------------------------------------
 
+def _seg_plumbing(rest, record_miss, n_scratch):
+    """Split a segment kernel's variadic refs into the _bounce_loop wiring.
+
+    Input planes: 7 rays + 7 carried state (+6 miss). Output planes:
+    9 state (o, d, thr) + 3 rad + alive (+6 miss). Scratch refs trail."""
+    n_in = 20 if record_miss else 14
+    ins = rest[:n_in]
+    scratch = rest[len(rest) - n_scratch:] if n_scratch else ()
+    outs = rest[n_in:len(rest) - n_scratch] if n_scratch else rest[n_in:]
+    ray_refs = ins[:7]
+    init_refs = ins[7:14]
+    miss_init_refs = ins[14:20] if record_miss else None
+    state_out = outs[0:9] + outs[12:13]  # o, d, thr, alive
+    rr, rg, rb = outs[9:12]
+    miss_refs = outs[13:19] if record_miss else None
+    return ray_refs, init_refs, miss_init_refs, state_out, (rr, rg, rb), \
+        miss_refs, scratch
+
+
 def _megakernel_seg_brute(
-    seed_ref, sph_ref,
-    ox, oy, oz, dx, dy, dz, tm,
-    thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive,
-    oox, ooy, ooz, odx, ody, odz, othr_r, othr_g, othr_b, rr, rg, rb, oalive,
-    *, n_spheres: int, max_depth: int, t_min: float,
+    seed_ref, sph_ref, *rest,
+    n_spheres: int, max_depth: int, t_min: float, record_miss: bool = False,
 ):
+    (ray_refs, init_refs, miss_init_refs, state_out, (rr, rg, rb),
+     miss_refs, _) = _seg_plumbing(rest, record_miss, 0)
+
     def hit(rays, shape):
         return _closest_hit_brute(sph_ref, rays, t_min, n_spheres, shape)
 
     _bounce_loop(
-        seed_ref, hit, ox, oy, oz, dx, dy, dz, tm, rr, rg, rb,
+        seed_ref, hit, *ray_refs, rr, rg, rb,
         max_depth=max_depth, t_min=t_min,
-        init_refs=(thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive),
-        state_out_refs=(oox, ooy, ooz, odx, ody, odz, othr_r, othr_g,
-                        othr_b, oalive),
+        init_refs=init_refs, state_out_refs=state_out,
+        miss_refs=miss_refs, miss_init_refs=miss_init_refs,
     )
 
 
 def _megakernel_seg_front(
-    seed_ref, sph_ref, ff_ref, fi_ref, wf_ref, sf_ref,
-    ox, oy, oz, dx, dy, dz, tm,
-    thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive,
-    oox, ooy, ooz, odx, ody, odz, othr_r, othr_g, othr_b, rr, rg, rb, oalive,
-    livew_ref, live_ref,
-    *, n_front: int, max_depth: int, t_min: float,
+    seed_ref, sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, *rest,
+    n_front: int, max_depth: int, t_min: float, record_miss: bool = False,
 ):
+    (ray_refs, init_refs, miss_init_refs, state_out, (rr, rg, rb),
+     miss_refs, scratch) = _seg_plumbing(rest, record_miss, 2)
+    livew_ref, live_ref = scratch
+
     def hit(rays, shape):
         return _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref,
                                   livew_ref, live_ref, rays, t_min, n_front,
                                   shape)
 
     _bounce_loop(
-        seed_ref, hit, ox, oy, oz, dx, dy, dz, tm, rr, rg, rb,
+        seed_ref, hit, *ray_refs, rr, rg, rb,
         max_depth=max_depth, t_min=t_min,
-        init_refs=(thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive),
-        state_out_refs=(oox, ooy, ooz, odx, ody, odz, othr_r, othr_g,
-                        othr_b, oalive),
+        init_refs=init_refs, state_out_refs=state_out,
+        miss_refs=miss_refs, miss_init_refs=miss_init_refs,
     )
 
 
-def _segment_call(planes, scene, seed, depth, t_min, front, interpret):
+def _segment_call(planes, scene, seed, depth, t_min, front, interpret,
+                  record_miss=False):
     """One segment launch: 14 input planes [T*SUB, LANES] -> 13 outputs
     (o, d, thr, rad, alive). `planes` order: ox oy oz dx dy dz tm thr_rgb
-    rad_rgb alive."""
+    rad_rgb alive. With `record_miss`, 6 miss planes (mdir, mthr) ride
+    along as both inputs and outputs (a path misses in exactly one
+    segment)."""
     tiles = planes[0].shape[0] // SUB
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
 
+    n_in = 20 if record_miss else 14
+    n_out = 19 if record_miss else 13
     scratch_shapes = []
     if front is not None:
         n_front = front.ff.shape[1]
         kernel = functools.partial(
             _megakernel_seg_front, n_front=n_front, max_depth=depth,
-            t_min=t_min,
+            t_min=t_min, record_miss=record_miss,
         )
         in_specs = [
             smem((1, 1)), smem(front.sph.shape),
@@ -1237,7 +1325,8 @@ def _segment_call(planes, scene, seed, depth, t_min, front, interpret):
     else:
         n = scene.radius.shape[0]
         kernel = functools.partial(
-            _megakernel_seg_brute, n_spheres=n, max_depth=depth, t_min=t_min
+            _megakernel_seg_brute, n_spheres=n, max_depth=depth, t_min=t_min,
+            record_miss=record_miss,
         )
         in_specs = [smem((1, 1)), smem((N_ROWS, n))]
         args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), _scene_table(scene))
@@ -1245,9 +1334,10 @@ def _segment_call(planes, scene, seed, depth, t_min, front, interpret):
     return pl.pallas_call(
         kernel,
         grid=(tiles,),
-        in_specs=in_specs + [ray_spec] * 14,
-        out_specs=[ray_spec] * 13,
-        out_shape=[jax.ShapeDtypeStruct((tiles * SUB, LANES), jnp.float32)] * 13,
+        in_specs=in_specs + [ray_spec] * n_in,
+        out_specs=[ray_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((tiles * SUB, LANES), jnp.float32)]
+        * n_out,
         scratch_shapes=scratch_shapes,
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(*args, *planes)
@@ -1255,7 +1345,8 @@ def _segment_call(planes, scene, seed, depth, t_min, front, interpret):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "seg_len", "t_min", "interpret"),
+    static_argnames=("max_depth", "seg_len", "t_min", "interpret",
+                     "record_miss"),
 )
 def pallas_trace_paths_segmented(
     origin: jnp.ndarray,     # [R, 3]
@@ -1268,10 +1359,13 @@ def pallas_trace_paths_segmented(
     t_min: float = T_MIN,
     interpret: bool = False,
     front=None,
+    record_miss: bool = False,
 ) -> jnp.ndarray:
-    """Radiance [R, 3] via depth segments with inter-segment compaction —
-    the fast path for deep bounce limits (the reference's own operating
-    point is max_depth 50, src/main.cpp:59).
+    """Radiance [R, 3] via depth segments with inter-segment compaction.
+
+    MEASURED LOSER — see the section comment above: 11x slower than the
+    monolithic pallas_trace_paths at the reference's depth-50 operating
+    point and worker-faulting at CONFIG3 scale. Opt-in only.
 
     Statistically identical to pallas_trace_paths (each segment reseeds the
     in-kernel PRNG, so individual paths differ; the estimator and its
@@ -1307,6 +1401,8 @@ def pallas_trace_paths_segmented(
     n_segs = (max_depth + seg_len - 1) // seg_len
     state = [ox, oy, oz, dx, dy, dz, tm, thr_r, thr_g, thr_b,
              rad_r, rad_g, rad_b, alive]
+    if record_miss:
+        state += [jnp.zeros((r_pad,), jnp.float32) for _ in range(6)]
     for s in range(n_segs):
         depth = min(seg_len, max_depth - s * seg_len)
         seed_s = jnp.bitwise_xor(
@@ -1314,11 +1410,11 @@ def pallas_trace_paths_segmented(
         )
         planes = [p.reshape(tiles * SUB, LANES) for p in state]
         outs = _segment_call(planes, scene, seed_s, depth, t_min, front,
-                             interpret)
+                             interpret, record_miss=record_miss)
         o_planes = [o.reshape(-1) for o in outs]
-        # outputs: o(3) d(3) thr(3) rad(3) alive
+        # outputs: o(3) d(3) thr(3) rad(3) alive (+ mdir(3) mthr(3))
         state = (o_planes[0:6] + [tm] + o_planes[6:9] + o_planes[9:12]
-                 + o_planes[12:13])
+                 + o_planes[12:])
         if s < n_segs - 1:
             order = jnp.argsort(
                 (state[13] < 0.5).astype(jnp.int32), stable=True
@@ -1328,8 +1424,13 @@ def pallas_trace_paths_segmented(
             slot = jnp.take(slot, order)
 
     inv = jnp.argsort(slot)
-    rad = jnp.stack([state[10], state[11], state[12]], axis=-1)
-    return jnp.take(rad, inv, axis=0)[:R]
+    unperm = lambda i0: jnp.take(
+        jnp.stack(state[i0 : i0 + 3], axis=-1), inv, axis=0
+    )[:R]
+    rad = unperm(10)
+    if record_miss:
+        return rad, unperm(14), unperm(17)
+    return rad
 
 
 # ---------------------------------------------------------------------------
@@ -1552,17 +1653,20 @@ def _closest_hit_front_hbm(sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref,
 
 def _megakernel_front_hbm(
     seed_ref, sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref,
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
-    rr_ref, rg_ref, rb_ref,
-    livew_ref, live_ref, stage, sems,
-    *, n_front: int, max_depth: int, t_min: float, inject_bug=None,
+    *rest,  # 7 ray planes, 3 (+6 miss) outs, then 4 scratches
+    n_front: int, max_depth: int, t_min: float, inject_bug=None,
+    record_miss: bool = False,
 ):
+    ray_refs = rest[:7]
+    livew_ref, live_ref, stage, sems = rest[-4:]
+    (rr_ref, rg_ref, rb_ref), miss_refs = _split_outs(rest[7:-4], record_miss)
+
     def hit(rays, shape):
         return _closest_hit_front_hbm(
             sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref, live_ref,
             stage, sems, rays, t_min, n_front, shape,
         )
 
-    _bounce_loop(seed_ref, hit, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-                 dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
-                 max_depth=max_depth, t_min=t_min, inject_bug=inject_bug)
+    _bounce_loop(seed_ref, hit, *ray_refs, rr_ref, rg_ref, rb_ref,
+                 max_depth=max_depth, t_min=t_min, inject_bug=inject_bug,
+                 miss_refs=miss_refs)

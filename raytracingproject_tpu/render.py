@@ -287,6 +287,10 @@ def render_pass(
         # is the front-culled scan — the fastest acceleration path measured.
         # With `bvh`, it is the tile-uniform traversal. Either way the scene
         # must already be in leaf order (render() below reorders).
+        # With a sky texture the kernel records (miss dir, miss throughput)
+        # instead of adding the built-in gradient; the equirect env-map
+        # lookup happens here in XLA (one vectorized gather over rays).
+        record_miss = sky_tex is not None
         if depth_segment and max_depth > depth_segment and bvh is None:
             # Deep bounce limits: segment the depth loop and compact alive
             # rays between segments (tile-granular early exit alone lets one
@@ -295,15 +299,20 @@ def render_pass(
                 pallas_trace_paths_segmented,
             )
 
-            rad = pallas_trace_paths_segmented(
+            out = pallas_trace_paths_segmented(
                 origin, direction, time, scene, seed, max_depth,
-                seg_len=depth_segment, front=front,
+                seg_len=depth_segment, front=front, record_miss=record_miss,
             )
         else:
-            rad = pallas_trace_paths(
+            out = pallas_trace_paths(
                 origin, direction, time, scene, seed, max_depth, bvh=bvh,
-                front=front,
+                front=front, record_miss=record_miss,
             )
+        if record_miss:
+            rad, mdir, mthr = out
+            rad = rad + mthr * sky_color(mdir, sky_tex)
+        else:
+            rad = out
         rad = rad[jnp.asarray(gather)]  # [spp_chunk, H*W, 3] row-major
         return rad.sum(axis=0).reshape(height, width, 3)
 
@@ -331,17 +340,10 @@ def render(
     passes are chunked so each device batch stays at a static size.
     """
     settings = settings or RenderSettings()
+    # Sky textures ride the megakernel too: the kernel records (miss dir,
+    # miss throughput) planes and the equirect lookup happens in XLA
+    # (render_pass) — per-lane gathers never enter the kernel.
     use_megakernel = settings.use_megakernel
-    if sky_texture is not None and use_megakernel:
-        # Environment-map lookup is a per-lane gather; the megakernel has no
-        # gather path, so sky-textured renders take the XLA renderer.
-        import logging
-
-        logging.getLogger("raytracingproject_tpu").info(
-            "sky texture set: using the XLA render path (megakernel has no "
-            "texture gather)"
-        )
-        use_megakernel = False
     key = key if key is not None else jax.random.PRNGKey(0)
     width, height = camera.image_size()
     cam = camera.derive(settings.dtype)
@@ -377,9 +379,11 @@ def render(
     pixels = width * height
     spp_chunk = max(1, min(spp, settings.rays_per_batch // max(pixels, 1)))
 
-    depth_segment = settings.depth_segment
-    if depth_segment is None:
-        depth_segment = 8 if camera.max_depth >= 16 else 0
+    # Segmentation is opt-in only: measured 11x SLOWER than the monolithic
+    # kernel at depth 50 (tile early exit + front culling already absorb the
+    # depth tail), and the compaction graph faulted the TPU worker at
+    # CONFIG3's 3168-tile grid. See RenderSettings.depth_segment.
+    depth_segment = settings.depth_segment or 0
 
     acc = jnp.zeros((height, width, 3), settings.dtype)
     done = 0

@@ -218,3 +218,68 @@ def test_megakernel_deterministic_given_seed():
     a = np.asarray(pallas_trace_paths(o, d, t, scene, jnp.int32(5), max_depth=6, interpret=True))
     b = np.asarray(pallas_trace_paths(o, d, t, scene, jnp.int32(5), max_depth=6, interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_megakernel_record_miss_identity():
+    """record_miss=True must be a pure refactor of the sky accumulation:
+    radiance + miss_thr * default_sky(miss_dir) == the plain kernel's
+    radiance (same seed -> same PRNG stream -> identical paths). This is
+    the exactness contract env-map lighting rides on (render_pass applies
+    the texture lookup to the recorded planes)."""
+    from raytracingproject_tpu.render import sky_color
+
+    scene = make_three_sphere_scene()
+    cam = Camera(
+        aspect_ratio=16.0 / 9.0, image_width=64, samples_per_pixel=1,
+        max_depth=8, vfov=90.0, lookfrom=(0.0, 0.0, 0.0),
+        lookat=(0.0, 0.0, -1.0), defocus_angle=0.0, focus_dist=1.0,
+    )
+    R = 4096
+    o, d, t = gen(cam, R, jax.random.PRNGKey(5))
+    plain = np.asarray(
+        pallas_trace_paths(o, d, t, scene, jnp.int32(11), max_depth=4,
+                           interpret=True)
+    )
+    rad, mdir, mthr = pallas_trace_paths(
+        o, d, t, scene, jnp.int32(11), max_depth=4, interpret=True,
+        record_miss=True,
+    )
+    rad, mdir, mthr = np.asarray(rad), np.asarray(mdir), np.asarray(mthr)
+    assert np.isfinite(rad).all() and np.isfinite(mdir).all()
+    total = rad + mthr * np.asarray(sky_color(jnp.asarray(mdir)))
+    np.testing.assert_allclose(total, plain, atol=2e-5)
+    # never-missed paths leave their planes at exactly zero
+    never = (np.abs(mdir).sum(axis=-1) == 0.0)
+    assert (mthr[never] == 0.0).all()
+
+
+def test_segmented_record_miss_identity():
+    """Same contract across depth segments: the miss planes ride the
+    inter-segment compaction and come back in original ray order."""
+    from raytracingproject_tpu.ops.pallas.megakernel import (
+        pallas_trace_paths_segmented,
+    )
+    from raytracingproject_tpu.render import sky_color
+
+    scene = make_three_sphere_scene()
+    cam = Camera(
+        aspect_ratio=16.0 / 9.0, image_width=64, samples_per_pixel=1,
+        max_depth=8, vfov=90.0, lookfrom=(0.0, 0.0, 0.0),
+        lookat=(0.0, 0.0, -1.0), defocus_angle=0.0, focus_dist=1.0,
+    )
+    R = 2048
+    o, d, t = gen(cam, R, jax.random.PRNGKey(9))
+    plain = np.asarray(
+        pallas_trace_paths_segmented(
+            o, d, t, scene, jnp.int32(3), max_depth=6, seg_len=2,
+            interpret=True,
+        )
+    )
+    rad, mdir, mthr = pallas_trace_paths_segmented(
+        o, d, t, scene, jnp.int32(3), max_depth=6, seg_len=2,
+        interpret=True, record_miss=True,
+    )
+    total = np.asarray(rad) + np.asarray(mthr) * np.asarray(
+        sky_color(jnp.asarray(np.asarray(mdir)))
+    )
+    np.testing.assert_allclose(total, plain, atol=2e-5)

@@ -319,3 +319,30 @@ def test_per_pixel_golden_matched_spp():
     # is noise-dominated — the per-pixel 4-sigma criterion above is the
     # discriminating gate; the wrong arg order measures 0.087 here)
     assert mean_abs < 0.03, f"mean |delta| = {mean_abs:.4f}"
+
+
+def test_compiled_record_miss_env_map(scene, cover_rays):
+    """Compiled miss-recording (env-map support): with the same seed the
+    record_miss kernel's radiance + miss_thr * default_sky(miss_dir) must
+    equal the plain kernel's radiance to float tolerance — the exactness
+    contract sky textures ride (render_pass applies the equirect lookup to
+    these planes)."""
+    from raytracingproject_tpu.ops.pallas.megakernel import (
+        front_tables, pallas_trace_paths,
+    )
+    from raytracingproject_tpu.render import sky_color
+
+    o, d, t = cover_rays
+    bvh = build_bvh(scene, leaf_size=8)
+    rscene = reorder_scene(scene, bvh)
+    front = front_tables(rscene, bvh)
+    plain = np.asarray(
+        pallas_trace_paths(o, d, t, rscene, jnp.int32(7), DEPTH, front=front)
+    )
+    rad, mdir, mthr = pallas_trace_paths(
+        o, d, t, rscene, jnp.int32(7), DEPTH, front=front, record_miss=True
+    )
+    total = np.asarray(rad) + np.asarray(mthr) * np.asarray(
+        sky_color(jnp.asarray(np.asarray(mdir)))
+    )
+    np.testing.assert_allclose(total, plain, atol=5e-5)
