@@ -67,9 +67,11 @@ class RenderSettings:
     # backends, and 2 in-flight chunks (the reference's
     # max_frames_in_flight, src/common_objects.h:10) are enough overlap.
     sync_every: int = 4
-    # Megakernel depth segmentation: cut the bounce loop into segments of
-    # this many bounces with alive-ray compaction between segments
-    # (megakernel.pallas_trace_paths_segmented). None = auto (8 whenever
-    # max_depth >= 16 — the measured win at the reference's depth-50
-    # operating point); 0 = off (one monolithic kernel).
+    # Megakernel depth segmentation (megakernel.pallas_trace_paths_segmented):
+    # cut the bounce loop into segments with alive-ray compaction between
+    # them. MEASURED VERDICT (round 3, real v5e): the compaction costs far
+    # more than tile-granular early exit saves — 0.48 vs 5.34 Mrays/s plain
+    # at depth 50, 400x225 — and the full CONFIG3 grid (3168 tiles) faulted
+    # the TPU worker. Kept as a tested, opt-in alternative; default OFF
+    # (None = 0 = one monolithic kernel, the measured winner at every depth).
     depth_segment: int | None = None

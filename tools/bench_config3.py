@@ -49,8 +49,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=128)
     ap.add_argument("--depth", type=int, default=50)
-    ap.add_argument("--seg", type=int, default=8,
-                    help="depth-segment length (0 = monolithic kernel)")
+    ap.add_argument("--seg", type=int, default=0,
+                    help="depth-segment length; 0 = monolithic kernel (the "
+                    "measured winner — seg8 ran 11x slower and faulted the "
+                    "worker at this grid, see megakernel.py segmented notes)")
     args = ap.parse_args()
     assert args.spp % SPP_CHUNK == 0
 
