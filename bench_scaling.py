@@ -180,8 +180,18 @@ def main() -> None:
     ]
     n_round = (max(rounds) + 1) if rounds else 0
     path = os.path.join(os.path.dirname(__file__), f"SCALING_r{n_round:02d}.json")
+    # Merge under a per-backend key: the round's artifact holds BOTH the
+    # virtual-CPU-mesh sweep and the real-chip native section (round-2
+    # VERDICT weak #3) without either run clobbering the other.
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+        if "backend" in merged:  # legacy flat record
+            merged = {merged["backend"]: merged}
+    merged[out["backend"]] = out
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":
