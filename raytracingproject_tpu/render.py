@@ -189,32 +189,37 @@ def _block_order(width: int, height: int, spp: int = 1, tile: int = 1024):
     The kernel processes rays in consecutive `tile`-ray (1024) chunks; in
     row-major order a chunk spans 2.5 image rows, so its rays fan across
     the whole width and touch many BVH-front subtrees. Here rays are
-    ordered block-by-block — all `spp` samples of one bxb pixel block
-    consecutively — with b chosen so one block's rays fill about one tile
-    (32x32 for spp 1, 16x16 for spp 4): a chunk's spatial footprint is one
-    small screen block and the front culling skips far more subtrees.
+    ordered SAMPLE-MAJOR over block-ordered pixels: plane s (s in [0, spp))
+    is the whole image traversed bxb-block by block, so a chunk's spatial
+    footprint stays one small screen block (b sized so a block's rays fill
+    about one tile; chunks near block or plane junctions span two adjacent
+    blocks, which block raster order keeps spatially close).
+
+    Sample-major matters for the OUTPUT side: every plane has the identical
+    pixel layout, so the spp-sum is a plain reshape+sum — no [spp, H*W]
+    cross-plane gather — and the single [H*W] `gather` restores row-major
+    order after the sum (round-3: this per-pass unpermute gather was ~20%
+    of a pass at small scenes, measured via the flat sharded path).
 
     `slot_pix[r]` is the row-major pixel id ray slot r renders (padded to a
-    `tile` multiple with pixel 0, dropped on unpermute); `gather[s, p]` is
-    the slot of (sample s, pixel p), so `rad[gather]` restores [spp, H*W]
-    row-major order."""
+    `tile` multiple with pixel 0, dropped on unpermute); `gather[p]` is the
+    block-order position of row-major pixel p, so `rad_summed[gather]` is
+    the row-major image."""
     import numpy as np
 
     b = 32
     while b > 8 and b * b * spp > tile:
         b //= 2
     idx = np.arange(width * height, dtype=np.int64).reshape(height, width)
-    slots = []
-    gather = np.empty((spp, width * height), np.int64)
-    pos = 0
-    for by in range(0, height, b):
-        for bx in range(0, width, b):
-            blk = idx[by : by + b, bx : bx + b].reshape(-1)
-            for s in range(spp):
-                gather[s, blk] = pos + np.arange(blk.size)
-                slots.append(blk)
-                pos += blk.size
-    slot_pix = np.concatenate(slots)
+    blocks = [
+        idx[by : by + b, bx : bx + b].reshape(-1)
+        for by in range(0, height, b)
+        for bx in range(0, width, b)
+    ]
+    plane = np.concatenate(blocks)          # one sample of every pixel
+    gather = np.empty(width * height, np.int64)
+    gather[plane] = np.arange(plane.size)
+    slot_pix = np.tile(plane, spp)
     pad = (-slot_pix.size) % tile
     if pad:
         slot_pix = np.concatenate([slot_pix, np.zeros(pad, np.int64)])
@@ -313,8 +318,11 @@ def render_pass(
             rad = rad + mthr * sky_color(mdir, sky_tex)
         else:
             rad = out
-        rad = rad[jnp.asarray(gather)]  # [spp_chunk, H*W, 3] row-major
-        return rad.sum(axis=0).reshape(height, width, 3)
+        # sample-major planes: spp-sum is a reshape (no cross-plane gather),
+        # then ONE [H*W] unpermute back to row-major
+        n_pix = height * width
+        rad = rad[: spp_chunk * n_pix].reshape(spp_chunk, n_pix, 3).sum(axis=0)
+        return rad[jnp.asarray(gather)].reshape(height, width, 3)
 
     i = jnp.tile(ii.reshape(-1), spp_chunk)
     j = jnp.tile(jj.reshape(-1), spp_chunk)

@@ -151,3 +151,30 @@ def test_render_deterministic_given_key():
     np.testing.assert_array_equal(a, b)
     c = np.asarray(render(scene, cam, jax.random.PRNGKey(6)))
     assert np.abs(a - c).max() > 0
+
+
+def test_block_order_sample_major_roundtrip():
+    """_block_order invariants (the megakernel ray-feed permutation):
+    each sample plane covers every pixel exactly once, padding repeats
+    pixel 0, and reshape-sum + the [H*W] gather reconstructs exactly the
+    per-pixel sample sums (the output path render_pass uses)."""
+    import numpy as np
+
+    from raytracingproject_tpu.render import _block_order
+
+    for (w, h, spp) in [(40, 23, 4), (64, 36, 1), (33, 17, 3)]:
+        slot_pix, gather = _block_order(w, h, spp, tile=1024)
+        n = w * h
+        assert slot_pix.size % 1024 == 0
+        assert (slot_pix[spp * n:] == 0).all()  # padding renders pixel 0
+        planes = slot_pix[: spp * n].reshape(spp, n)
+        for s in range(spp):
+            assert np.array_equal(np.sort(planes[s]), np.arange(n))
+            assert np.array_equal(planes[s], planes[0])  # identical layout
+        # emulate the render_pass output path: rad[slot] = pix * 10 + s
+        rad = (planes.astype(np.float64) * 10
+               + np.arange(spp, dtype=np.float64)[:, None])
+        summed = rad.reshape(spp, n).sum(axis=0)
+        img = summed[gather]
+        expect = np.arange(n) * 10 * spp + spp * (spp - 1) / 2
+        np.testing.assert_array_equal(img, expect)

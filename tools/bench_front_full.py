@@ -30,6 +30,9 @@ from tools.measure import marginal_seconds_per_pass
 W, H, DEPTH = 400, 225, 16
 
 
+ROWS: list[dict] = []
+
+
 def bench_scene(scene, tag: str, fronts=(None,)) -> None:
     """Measures the PRODUCTION path (render_pass: block-tiled rays +
     megakernel) so numbers reflect what render() users get."""
@@ -54,8 +57,9 @@ def bench_scene(scene, tag: str, fronts=(None,)) -> None:
 
         sec, _ = marginal_seconds_per_pass(make_brute, k1=4, k2=12, reps=3)
         brute = rays / sec
-        print(json.dumps({"scene": tag, "n": n, "path": "brute",
-                          "mrays_per_s": round(brute / 1e6, 2)}), flush=True)
+        ROWS.append({"scene": tag, "n": n, "path": "brute",
+                     "mrays_per_s": round(brute / 1e6, 2)})
+        print(json.dumps(ROWS[-1]), flush=True)
     except Exception as e:  # >16k spheres: brute's SMEM table cannot exist
         print(json.dumps({"scene": tag, "n": n, "path": "brute",
                           "error": str(e)[:120]}), flush=True)
@@ -80,6 +84,7 @@ def bench_scene(scene, tag: str, fronts=(None,)) -> None:
                "mrays_per_s": round(fr / 1e6, 2)}
         if brute:
             row["vs_brute"] = round(fr / brute, 2)
+        ROWS.append(row)
         print(json.dumps(row), flush=True)
 
 
@@ -94,6 +99,22 @@ def main() -> None:
         else:
             bench_scene(make_random_scene(ne, seed=3), f"random{ne}",
                         fronts=(None,))
+
+    # per-round artifact (round-2 VERDICT #3 asked for committed evidence
+    # of front scaling at 5k/50k spheres)
+    import glob
+    import os
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(os.path.dirname(__file__), "..", "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)", f))
+    ]
+    n_round = (max(rounds) + 1) if rounds else 0
+    path = os.path.join(os.path.dirname(__file__), "..", f"FRONT_r{n_round:02d}.json")
+    with open(path, "w") as f:
+        json.dump({"depth": DEPTH, "resolution": f"{W}x{H}", "rows": ROWS}, f, indent=1)
 
 
 if __name__ == "__main__":
