@@ -84,6 +84,9 @@ def main() -> None:
         front = front_tables(scene, bvh)
 
     def one_pass(key):
+        # raw_slots: slot-space radiance, as render() accumulates per chunk
+        # (the [spp, H*W] unpermute happens once per FRAME — excluding it
+        # from the per-pass marginal matches production cost)
         return render_pass(
             scene,
             cam,
@@ -95,6 +98,7 @@ def main() -> None:
             front=front,
             early_exit=not on_tpu,
             use_megakernel=on_tpu,
+            raw_slots=on_tpu,
         )
 
     sec_per_pass, checksum = marginal_seconds_per_pass(

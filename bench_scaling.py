@@ -109,10 +109,16 @@ def measure_train(n_devices: int) -> float:
 
 def measure_tpu_native() -> dict:
     """Single-chip shard_map overhead on the REAL chip: the megakernel path
-    unsharded (render_pass) vs sharded over a 1x1 mesh (render_sharded,
-    use_megakernel=True). This is the one scaling question this single-chip
-    environment can answer honestly (round-2 VERDICT weak #3); it uses the
-    device-true marginal methodology, not naive wall timing."""
+    through the IDENTICAL flat feed (parallel.shard._render_flat) called
+    directly under jit vs wrapped in shard_map over a 1x1 mesh
+    (render_sharded). Like-for-like isolates the shard_map/psum cost — the
+    round-2 artifact compared render_pass (block-ordered feed + unpermute)
+    against the flat sharded feed and reported feed overhead as negative
+    "shard_map overhead". The production render_pass feed is measured too,
+    as its own line."""
+    import functools
+
+    from raytracingproject_tpu.parallel.shard import _render_flat, _pixel_grid
     from raytracingproject_tpu.render import render_pass
     from tools.measure import marginal_seconds_per_pass
 
@@ -122,24 +128,32 @@ def measure_tpu_native() -> dict:
     height = cam.image_height
     rays = WIDTH * height * SPP
     mesh = make_mesh(devices=jax.devices()[:1], samples_axis_size=1)
+    i, j = _pixel_grid(WIDTH, height, 1)
 
-    def unsharded(key):
+    @functools.partial(jax.jit)
+    def flat_unsharded(key):
+        return _render_flat(
+            scene, camd, i, j, key, max_depth=DEPTH, spp_local=SPP,
+            use_megakernel=True,
+        )
+
+    def sharded(key):
+        return render_sharded(scene, cam, key, mesh, use_megakernel=True)
+
+    def production(key):
         return render_pass(
             scene, camd, key, width=WIDTH, height=height, max_depth=DEPTH,
             spp_chunk=SPP, use_megakernel=True,
         )
 
-    def sharded(key):
-        return render_sharded(
-            scene, cam, key, mesh, use_megakernel=True,
-        )
-
-    sec_u, _ = marginal_seconds_per_pass(unsharded, k1=2, k2=6, reps=3)
+    sec_f, _ = marginal_seconds_per_pass(flat_unsharded, k1=2, k2=6, reps=3)
     sec_s, _ = marginal_seconds_per_pass(sharded, k1=2, k2=6, reps=3)
+    sec_p, _ = marginal_seconds_per_pass(production, k1=2, k2=6, reps=3)
     return {
-        "tpu_native_unsharded_rays_per_sec": round(rays / sec_u, 1),
+        "tpu_native_flat_rays_per_sec": round(rays / sec_f, 1),
         "tpu_native_mesh1x1_rays_per_sec": round(rays / sec_s, 1),
-        "tpu_native_shard_map_overhead": round(1.0 - sec_u / sec_s, 3),
+        "tpu_native_shard_map_overhead": round(sec_s / sec_f - 1.0, 3),
+        "tpu_native_render_pass_rays_per_sec": round(rays / sec_p, 1),
     }
 
 

@@ -189,37 +189,37 @@ def _block_order(width: int, height: int, spp: int = 1, tile: int = 1024):
     The kernel processes rays in consecutive `tile`-ray (1024) chunks; in
     row-major order a chunk spans 2.5 image rows, so its rays fan across
     the whole width and touch many BVH-front subtrees. Here rays are
-    ordered SAMPLE-MAJOR over block-ordered pixels: plane s (s in [0, spp))
-    is the whole image traversed bxb-block by block, so a chunk's spatial
-    footprint stays one small screen block (b sized so a block's rays fill
-    about one tile; chunks near block or plane junctions span two adjacent
-    blocks, which block raster order keeps spatially close).
-
-    Sample-major matters for the OUTPUT side: every plane has the identical
-    pixel layout, so the spp-sum is a plain reshape+sum — no [spp, H*W]
-    cross-plane gather — and the single [H*W] `gather` restores row-major
-    order after the sum (round-3: this per-pass unpermute gather was ~20%
-    of a pass at small scenes, measured via the flat sharded path).
+    ordered block-by-block — all `spp` samples of one bxb pixel block
+    consecutively — with b chosen so one block's rays fill about one tile
+    (32x32 for spp 1, 16x16 for spp 4): a chunk's spatial footprint is one
+    small screen block and the front culling skips far more subtrees.
+    (A sample-major layout — whole 32x32-block image per sample plane —
+    was measured on hardware in round 3: the cheaper output reshape did
+    not pay for the 4x larger per-tile footprint; interleaved wins.)
 
     `slot_pix[r]` is the row-major pixel id ray slot r renders (padded to a
-    `tile` multiple with pixel 0, dropped on unpermute); `gather[p]` is the
-    block-order position of row-major pixel p, so `rad_summed[gather]` is
-    the row-major image."""
+    `tile` multiple with pixel 0, dropped on unpermute); `gather[s, p]` is
+    the slot of (sample s, pixel p), so `rad[gather]` restores [spp, H*W]
+    row-major order. The unpermute gather costs ~10 ns/ray on the tunneled
+    v5e — render() therefore accumulates in SLOT space across sample
+    chunks (render_pass(raw_slots=True)) and unpermutes once per frame."""
     import numpy as np
 
     b = 32
     while b > 8 and b * b * spp > tile:
         b //= 2
     idx = np.arange(width * height, dtype=np.int64).reshape(height, width)
-    blocks = [
-        idx[by : by + b, bx : bx + b].reshape(-1)
-        for by in range(0, height, b)
-        for bx in range(0, width, b)
-    ]
-    plane = np.concatenate(blocks)          # one sample of every pixel
-    gather = np.empty(width * height, np.int64)
-    gather[plane] = np.arange(plane.size)
-    slot_pix = np.tile(plane, spp)
+    slots = []
+    gather = np.empty((spp, width * height), np.int64)
+    pos = 0
+    for by in range(0, height, b):
+        for bx in range(0, width, b):
+            blk = idx[by : by + b, bx : bx + b].reshape(-1)
+            for s in range(spp):
+                gather[s, blk] = pos + np.arange(blk.size)
+                slots.append(blk)
+                pos += blk.size
+    slot_pix = np.concatenate(slots)
     pad = (-slot_pix.size) % tile
     if pad:
         slot_pix = np.concatenate([slot_pix, np.zeros(pad, np.int64)])
@@ -230,7 +230,7 @@ def _block_order(width: int, height: int, spp: int = 1, tile: int = 1024):
     jax.jit,
     static_argnames=(
         "width", "height", "max_depth", "spp_chunk", "early_exit", "use_pallas",
-        "use_megakernel", "depth_segment",
+        "use_megakernel", "depth_segment", "raw_slots",
     ),
 )
 def render_pass(
@@ -249,6 +249,7 @@ def render_pass(
     use_megakernel: bool = False,
     depth_segment: int = 0,
     sky_tex: jnp.ndarray | None = None,
+    raw_slots: bool = False,
 ) -> jnp.ndarray:
     """`spp_chunk` samples of every pixel; returns the radiance *sum*
     [H, W, 3] over the chunk (caller divides by total spp, as
@@ -259,6 +260,9 @@ def render_pass(
     in VMEM/registers from camera ray to radiance, the scene table lives in
     SMEM, and RNG is the per-core hardware PRNG. Forward-only.
     """
+    if raw_slots and not use_megakernel:
+        raise ValueError("raw_slots (slot-space output) is a megakernel-"
+                         "path option; the XLA paths return [H, W, 3]")
     jj, ii = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.int32),
         jnp.arange(width, dtype=jnp.int32),
@@ -318,11 +322,14 @@ def render_pass(
             rad = rad + mthr * sky_color(mdir, sky_tex)
         else:
             rad = out
-        # sample-major planes: spp-sum is a reshape (no cross-plane gather),
-        # then ONE [H*W] unpermute back to row-major
-        n_pix = height * width
-        rad = rad[: spp_chunk * n_pix].reshape(spp_chunk, n_pix, 3).sum(axis=0)
-        return rad[jnp.asarray(gather)].reshape(height, width, 3)
+        if raw_slots:
+            # slot-space radiance: the caller accumulates chunks here and
+            # unpermutes ONCE per frame (blocks_to_image) — the [spp, H*W]
+            # gather costs ~10 ns/ray on the tunneled chip, ~13% of a
+            # cover-scene pass
+            return rad
+        rad = rad[jnp.asarray(gather)]  # [spp_chunk, H*W, 3] row-major
+        return rad.sum(axis=0).reshape(height, width, 3)
 
     i = jnp.tile(ii.reshape(-1), spp_chunk)
     j = jnp.tile(jj.reshape(-1), spp_chunk)
@@ -332,6 +339,19 @@ def render_pass(
         use_pallas, sky_tex,
     )
     return rad.reshape(spp_chunk, height, width, 3).sum(axis=0)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp_chunk"))
+def blocks_to_image(
+    slot_rad: jnp.ndarray, width: int, height: int, spp_chunk: int
+) -> jnp.ndarray:
+    """Slot-space radiance sum [R_pad, 3] (render_pass(raw_slots=True),
+    possibly accumulated over many chunks) -> row-major image sum
+    [H, W, 3]. One gather per frame instead of one per pass."""
+    from raytracingproject_tpu.ops.pallas.megakernel import TILE
+
+    _, gather = _block_order(width, height, spp_chunk, TILE)
+    return slot_rad[jnp.asarray(gather)].sum(axis=0).reshape(height, width, 3)
 
 
 def render(
@@ -394,12 +414,17 @@ def render(
     depth_segment = settings.depth_segment or 0
 
     acc = jnp.zeros((height, width, 3), settings.dtype)
+    # Megakernel chunks accumulate in SLOT space (ray feed order) and
+    # unpermute once at the end — the per-pass [spp, H*W] unpermute gather
+    # costs ~10 ns/ray on the tunneled chip (~13% of a cover pass).
+    slot_acc = None
     done = 0
     chunks = 0
     while done < spp:
         chunk = min(spp_chunk, spp - done)
         k = jax.random.fold_in(key, done)
-        acc = acc + render_pass(
+        raw = use_megakernel and chunk == spp_chunk
+        out = render_pass(
             scene,
             cam,
             k,
@@ -414,11 +439,20 @@ def render(
             use_megakernel=use_megakernel,
             depth_segment=depth_segment,
             sky_tex=sky_texture,
+            raw_slots=raw,
         )
+        if raw:
+            slot_acc = out if slot_acc is None else slot_acc + out
+            sync_target = slot_acc
+        else:
+            acc = acc + out
+            sync_target = acc
         done += chunk
         chunks += 1
         if settings.sync_every and chunks % settings.sync_every == 0 and done < spp:
-            acc.block_until_ready()
+            sync_target.block_until_ready()
+    if slot_acc is not None:
+        acc = acc + blocks_to_image(slot_acc, width, height, spp_chunk)
     return acc / spp
 
 

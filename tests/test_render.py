@@ -153,11 +153,11 @@ def test_render_deterministic_given_key():
     assert np.abs(a - c).max() > 0
 
 
-def test_block_order_sample_major_roundtrip():
+def test_block_order_roundtrip():
     """_block_order invariants (the megakernel ray-feed permutation):
-    each sample plane covers every pixel exactly once, padding repeats
-    pixel 0, and reshape-sum + the [H*W] gather reconstructs exactly the
-    per-pixel sample sums (the output path render_pass uses)."""
+    every pixel gets exactly spp ray slots, padding repeats pixel 0, and
+    the [spp, H*W] gather plus blocks_to_image's once-per-frame variant
+    reconstruct exactly the per-pixel sample sums."""
     import numpy as np
 
     from raytracingproject_tpu.render import _block_order
@@ -166,15 +166,18 @@ def test_block_order_sample_major_roundtrip():
         slot_pix, gather = _block_order(w, h, spp, tile=1024)
         n = w * h
         assert slot_pix.size % 1024 == 0
+        counts = np.bincount(slot_pix[: spp * n], minlength=n)
+        assert (counts == spp).all()          # each pixel sampled spp times
         assert (slot_pix[spp * n:] == 0).all()  # padding renders pixel 0
-        planes = slot_pix[: spp * n].reshape(spp, n)
-        for s in range(spp):
-            assert np.array_equal(np.sort(planes[s]), np.arange(n))
-            assert np.array_equal(planes[s], planes[0])  # identical layout
-        # emulate the render_pass output path: rad[slot] = pix * 10 + s
-        rad = (planes.astype(np.float64) * 10
-               + np.arange(spp, dtype=np.float64)[:, None])
-        summed = rad.reshape(spp, n).sum(axis=0)
-        img = summed[gather]
+        assert gather.shape == (spp, n)
+        assert np.array_equal(slot_pix[gather[2 % spp]], np.arange(n))
+        # emulate raw-slot accumulation: rad[slot] = pix * 10 + sample index
+        rad = np.zeros(slot_pix.size)
+        seen = {}
+        for slot, pix in enumerate(slot_pix[: spp * n]):
+            s = seen.get(pix, 0)
+            seen[pix] = s + 1
+            rad[slot] = pix * 10 + s
+        img = rad[gather].sum(axis=0)  # blocks_to_image without the reshape
         expect = np.arange(n) * 10 * spp + spp * (spp - 1) / 2
         np.testing.assert_array_equal(img, expect)

@@ -93,6 +93,9 @@ def main() -> None:
             front=front,
             early_exit=not on_tpu,
             depth_segment=args.seg if on_tpu else 0,
+            # slot-space accumulation: the unpermute happens once per frame
+            # (full_frame below / render()), not once per chunk pass
+            raw_slots=on_tpu,
         )
 
     # 1. device-true chunk-pass throughput
@@ -105,14 +108,22 @@ def main() -> None:
     # barriered by fetching the u8 image itself.
     n_chunks = args.spp // SPP_CHUNK
 
+    if on_tpu:
+        r_pad = -(-WIDTH * HEIGHT * SPP_CHUNK // 1024) * 1024
+        acc0 = jnp.zeros((r_pad, 3), jnp.float32)
+    else:
+        acc0 = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
+
     @jax.jit
     def full_frame(key):
         def body(acc, c):
             return acc + one_pass(jax.random.fold_in(key, c)), None
 
-        acc, _ = jax.lax.scan(
-            body, jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32), jnp.arange(n_chunks)
-        )
+        acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_chunks))
+        if on_tpu:
+            from raytracingproject_tpu.render import blocks_to_image
+
+            acc = blocks_to_image(acc, WIDTH, HEIGHT, SPP_CHUNK)
         return to_u8(acc / args.spp)
 
     img = np.asarray(full_frame(jax.random.PRNGKey(fresh_salt())))  # compile
