@@ -99,6 +99,18 @@ def main() -> None:
                 scene, cam, spp=spp, trainable=TRAINABLE
             )
             paths["fast"] = (fstep, fp, fo)
+            # material-only training composes with the front-culled forward
+            # (fixed geometry -> the tables stay valid; round-2 VERDICT 1b)
+            from raytracingproject_tpu.bvh import build_bvh, reorder_scene
+            from raytracingproject_tpu.ops.pallas.megakernel import front_tables
+
+            fbvh = build_bvh(scene, leaf_size=8)
+            fscene = reorder_scene(scene, fbvh)
+            mp, mo, mstep = make_fast_train_step(
+                fscene, cam, spp=spp, trainable=("albedo", "fuzz", "ior"),
+                front=front_tables(fscene, fbvh),
+            )
+            paths["fast_front_materials"] = (mstep, mp, mo)
 
         results = {}
         for name, (step, params0, opt0) in paths.items():
@@ -128,7 +140,16 @@ def main() -> None:
 
     # Committed artifact for the driver (VERDICT r2 ask #2/#4): the second
     # BASELINE metric (fwd+bwd rays/s) recorded per round, not just printed.
-    out = os.environ.get("FWDBWD_ARTIFACT", "FWDBWD_r03.json")
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)", f))
+    ]
+    n_round = (max(rounds) + 1) if rounds else 0
+    out = os.environ.get("FWDBWD_ARTIFACT", f"FWDBWD_r{n_round:02d}.json")
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({"artifact": out}), flush=True)

@@ -88,6 +88,9 @@ def make_fast_radiance(scene: Scene, max_depth: int, bvh=None, front=None,
     return radiance
 
 
+GEOMETRY_FIELDS = ("center0", "center_delta", "radius")
+
+
 def make_fast_train_step(
     scene: Scene,
     camera,
@@ -97,13 +100,31 @@ def make_fast_train_step(
     learning_rate: float = 2e-2,
     trainable: tuple[str, ...] | None = None,
     interpret: bool = False,
+    bvh=None,
+    front=None,
 ):
     """Inverse-rendering train step on the fast path (grad/inverse.py's
     make_train_step with the Pallas forward + replay backward).
 
+    `front` (megakernel.FrontTables over `scene`, which must already be in
+    BVH leaf order) runs the front-culled closest hit in the recording
+    forward — the fast path for MATERIAL-ONLY training (albedo/fuzz/ior).
+    The tables snapshot fixed geometry, so passing `front`/`bvh` while
+    `trainable` includes a geometry field raises (stale-bounds gradients
+    would be silently wrong — the module-docstring caveat, enforced).
+
     Returns (params0, opt_state0, step) with
     step(params, opt_state, key, target_image) ->
         (params, opt_state, loss, grads)."""
+    if (bvh is not None or front is not None):
+        geo = set(GEOMETRY_FIELDS if trainable is None else trainable)
+        geo &= set(GEOMETRY_FIELDS)
+        if geo:
+            raise ValueError(
+                f"bvh/front snapshot FIXED geometry but {sorted(geo)} are "
+                "trainable; train materials only, or pass bvh=None and "
+                "front=None for geometry training"
+            )
     import optax
 
     from raytracingproject_tpu.camera import generate_rays
@@ -123,7 +144,8 @@ def make_fast_train_step(
     width, height = camera.image_size()
     cam = camera.derive(scene.center0.dtype)
     max_depth = camera.max_depth
-    radiance_fn = make_fast_radiance(scene, max_depth, interpret=interpret)
+    radiance_fn = make_fast_radiance(scene, max_depth, bvh=bvh, front=front,
+                                     interpret=interpret)
 
     jj, ii = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.int32),
