@@ -32,7 +32,11 @@ from raytracingproject_tpu.render import render
 from raytracingproject_tpu.scene import make_cover_scene, make_three_sphere_scene
 from tools.measure import fresh_salt
 
-N1, N2 = 3, 9
+# Marginal window: 12 extra steps (~100 ms at cover scale) keeps tunnel
+# dispatch jitter (several ms per fetch) under ~10% of the measurement;
+# the round-3 3/9 window swung the cover number 5.1 <-> 7.5 Mrays/s
+# between otherwise-identical runs.
+N1, N2 = 4, 16
 TRAINABLE = ("albedo", "center0", "radius")
 
 # (label, scene factory, camera kwargs, width, spp, depth). The cover scene

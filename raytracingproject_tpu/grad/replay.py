@@ -227,5 +227,13 @@ def replay_radiance(
     n = origin.shape[0]
     dtype = origin.dtype
     init = (origin, direction, jnp.ones((n, 3), dtype), jnp.zeros((n, 3), dtype))
-    (_, _, _, L), _ = jax.lax.scan(step, init, (res.idx, res.ndir, res.refl))
+    # Rematerialize the bounce body in the backward sweep: without this the
+    # scan saves each bounce's [R, N] one-hot (and quadratic intermediates)
+    # to HBM as residuals — ~90 MB/bounce at cover scale, dominating the
+    # step. Recomputing them from the [R] carry + idx costs one cheap
+    # quadratic per ray (the whole point of replay) and collapses residual
+    # traffic to the scan carries.
+    (_, _, _, L), _ = jax.lax.scan(
+        jax.checkpoint(step), init, (res.idx, res.ndir, res.refl)
+    )
     return L
