@@ -3,20 +3,35 @@
 second BASELINE.md metric. Prints one JSON line per path.
 
 Paths:
-  xla  — reverse-mode through the XLA megakernel renderer (grad/inverse.py)
-  fast — Pallas megakernel forward + path-replay backward (grad/fast.py);
-         TPU only.
+  xla            — reverse-mode through the XLA megakernel renderer
+                   (grad/inverse.py); depth-8 configs only (at depth 50 the
+                   unrematerialized scan residuals exceed HBM)
+  fast           — Pallas megakernel forward + path-replay backward
+                   (grad/fast.py); TPU only. Geometry+albedo trainable.
+  fast_materials — same path, materials-only trainable (albedo/fuzz/ior):
+                   the like-for-like control for fast_front_materials
+                   (round-3 VERDICT weak #2: the two rows used to differ in
+                   BOTH path and trainable set).
+  fast_front_materials — materials-only training with the front-culled
+                   recording forward (fixed geometry keeps the tables valid).
 
-Device-true methodology: N sequential steps form a true dependency chain
-(params_{i+1} depends on params_i), closed by a host fetch of the final
-loss; the marginal cost between two step counts cancels fixed overheads
-(see tools/measure.py for why naive per-call timing lies on this backend).
+Depth-50 rows run the `fast` path with replay_groups (dead-depth-skipping
+grouped replay, grad/replay.py) and a groups=1 control, closing round-3
+VERDICT missing #1: the flagship operating point (src/main.cpp:57-60 is
+1200x675 @ depth 50) now has measured fwd+bwd numbers.
+
+Methodology: N sequential steps form a true dependency chain closed by a
+host fetch of the final loss; the marginal cost between two step counts
+cancels fixed overheads (tools/measure.py). Each number is the MEDIAN of
+REPS marginals with the min/max spread recorded in the artifact —
+round-3's single-sample numbers admitted ~30% undetectable variance.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 import jax
@@ -32,31 +47,34 @@ from raytracingproject_tpu.render import render
 from raytracingproject_tpu.scene import make_cover_scene, make_three_sphere_scene
 from tools.measure import fresh_salt
 
-# Marginal window: 12 extra steps (~100 ms at cover scale) keeps tunnel
-# dispatch jitter (several ms per fetch) under ~10% of the measurement;
-# the round-3 3/9 window swung the cover number 5.1 <-> 7.5 Mrays/s
-# between otherwise-identical runs.
+# Marginal window: 12 extra steps keeps tunnel dispatch jitter (several ms
+# per fetch) under ~10% of the measurement at the small configs; the
+# round-3 3/9 window swung the cover number 5.1 <-> 7.5 Mrays/s.
 N1, N2 = 4, 16
+REPS = 3
 TRAINABLE = ("albedo", "center0", "radius")
+MATERIALS = ("albedo", "fuzz", "ior")
 
-# (label, scene factory, camera kwargs, width, spp, depth). The cover scene
-# is where the replay backward's O(depth) vs O(N*depth) advantage shows;
-# the three-sphere config is kept for cross-round comparability.
+COVER_CAM = dict(vfov=20.0, lookfrom=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                 defocus_angle=0.6, focus_dist=10.0)
+
+# (label, scene factory, camera kwargs, width, spp, depth, n1, n2, reps).
+# The two d8 rows keep cross-round comparability; the d50 rows are the
+# flagship operating point (the reference renders at depth 50).
 CONFIGS = [
-    (
-        "three_sphere_200px_d8",
-        make_three_sphere_scene,
-        dict(vfov=90.0, lookfrom=(0.0, 0.0, 0.0), lookat=(0.0, 0.0, -1.0)),
-        200, 4, 8,
-    ),
-    (
-        "cover_200px_d8",
-        lambda: make_cover_scene(seed=0),
-        dict(vfov=20.0, lookfrom=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0),
-             defocus_angle=0.6, focus_dist=10.0),
-        200, 2, 8,
-    ),
+    ("three_sphere_200px_d8", make_three_sphere_scene,
+     dict(vfov=90.0, lookfrom=(0.0, 0.0, 0.0), lookat=(0.0, 0.0, -1.0)),
+     200, 4, 8, N1, N2, REPS),
+    ("cover_200px_d8", lambda: make_cover_scene(seed=0), COVER_CAM,
+     200, 2, 8, N1, N2, REPS),
+    ("cover_400px_d50", lambda: make_cover_scene(seed=0), COVER_CAM,
+     400, 2, 50, N1, N2, REPS),
+    # flagship resolution; steps are ~seconds, so a smaller window/rep count
+    ("cover_1200x675_d50", lambda: make_cover_scene(seed=0), COVER_CAM,
+     1200, 1, 50, 2, 6, 3),
 ]
+
+REPLAY_GROUPS = 8  # slices for dead-depth-skipping replay at depth 50
 
 
 def time_steps(step, params0, opt0, target, n_steps: int) -> tuple[float, float]:
@@ -71,18 +89,34 @@ def time_steps(step, params0, opt0, target, n_steps: int) -> tuple[float, float]
     return time.perf_counter() - t0, final
 
 
-def measure(step, params0, opt0, target) -> tuple[float, float]:
-    time_steps(step, params0, opt0, target, N1)  # compile/warm
-    time_steps(step, params0, opt0, target, N2)
-    d1, _ = time_steps(step, params0, opt0, target, N1)
-    d2, loss = time_steps(step, params0, opt0, target, N2)
-    return (d2 - d1) / (N2 - N1), loss
+def measure(step, params0, opt0, target, n1, n2, reps):
+    """(median marginal sec/step, loss, [marginals]) over `reps` pairs."""
+    time_steps(step, params0, opt0, target, n1)  # compile/warm
+    time_steps(step, params0, opt0, target, n2)
+    marginals = []
+    loss = float("nan")
+    for _ in range(reps):
+        d1, _ = time_steps(step, params0, opt0, target, n1)
+        d2, loss = time_steps(step, params0, opt0, target, n2)
+        if d2 <= d1:  # congestion artifact on the shared chip
+            continue
+        marginals.append((d2 - d1) / (n2 - n1))
+    if not marginals:
+        raise RuntimeError("all timing reps showed dt(N2) <= dt(N1)")
+    return statistics.median(marginals), loss, marginals
 
 
 def main() -> None:
     on_tpu = jax.devices()[0].platform == "tpu"
-    artifact: dict = {"backend": jax.devices()[0].platform, "configs": {}}
-    for label, scene_fn, cam_kw, width, spp, depth in CONFIGS:
+    artifact: dict = {"backend": jax.devices()[0].platform,
+                      "reps": REPS, "configs": {}}
+    only = os.environ.get("FWDBWD_ONLY")  # comma-separated config filter
+    for label, scene_fn, cam_kw, width, spp, depth, n1, n2, reps in CONFIGS:
+        if only and label not in only.split(","):
+            continue
+        deep = depth > 16
+        if deep and not on_tpu:
+            continue
         scene = scene_fn()
         cam = Camera(
             aspect_ratio=16.0 / 9.0,
@@ -96,30 +130,54 @@ def main() -> None:
         target = render(scene, cam, jax.random.PRNGKey(0))
 
         paths = {}
-        opt_state, step = make_train_step(scene, cam, spp=spp, trainable=TRAINABLE)
-        paths["xla"] = (step, extract_params(scene), opt_state)
+        if not deep:
+            # XLA reverse-mode at depth 50 materializes ~[R, N] residuals
+            # per bounce x 50 — past HBM at these sizes; d8 rows only.
+            opt_state, step = make_train_step(scene, cam, spp=spp,
+                                              trainable=TRAINABLE)
+            paths["xla"] = (step, extract_params(scene), opt_state)
         if on_tpu:
+            groups = REPLAY_GROUPS if deep else 1
             fp, fo, fstep = make_fast_train_step(
-                scene, cam, spp=spp, trainable=TRAINABLE
+                scene, cam, spp=spp, trainable=TRAINABLE,
+                replay_groups=groups,
             )
             paths["fast"] = (fstep, fp, fo)
-            # material-only training composes with the front-culled forward
-            # (fixed geometry -> the tables stay valid; round-2 VERDICT 1b)
+            if deep:
+                # groups=1 control: isolates the dead-depth-skipping win
+                g1p, g1o, g1step = make_fast_train_step(
+                    scene, cam, spp=spp, trainable=TRAINABLE, replay_groups=1,
+                )
+                paths["fast_g1"] = (g1step, g1p, g1o)
+            # materials-only rows: brute vs front with the SAME trainable
+            # set, so the path is the only difference between them
+            bp, bo, bstep = make_fast_train_step(
+                scene, cam, spp=spp, trainable=MATERIALS, replay_groups=groups,
+            )
+            paths["fast_materials"] = (bstep, bp, bo)
             from raytracingproject_tpu.bvh import build_bvh, reorder_scene
             from raytracingproject_tpu.ops.pallas.megakernel import front_tables
 
             fbvh = build_bvh(scene, leaf_size=8)
             fscene = reorder_scene(scene, fbvh)
             mp, mo, mstep = make_fast_train_step(
-                fscene, cam, spp=spp, trainable=("albedo", "fuzz", "ior"),
-                front=front_tables(fscene, fbvh),
+                fscene, cam, spp=spp, trainable=MATERIALS,
+                front=front_tables(fscene, fbvh,
+                                   order_point=cam_kw["lookfrom"]),
+                replay_groups=groups,
             )
             paths["fast_front_materials"] = (mstep, mp, mo)
 
         results = {}
+        entry: dict = {}
         for name, (step, params0, opt0) in paths.items():
-            sec, loss = measure(step, params0, opt0, target)
+            sec, loss, marginals = measure(step, params0, opt0, target,
+                                           n1, n2, reps)
             results[name] = rays / sec
+            entry[name] = round(rays / sec, 1)
+            entry[name + "_spread_mrays"] = [
+                round(rays / m / 1e6, 2) for m in sorted(marginals)
+            ]
             print(
                 json.dumps(
                     {
@@ -127,33 +185,32 @@ def main() -> None:
                         "value": round(rays / sec, 1),
                         "unit": "rays/s",
                         "step_ms": round(sec * 1e3, 2),
+                        "reps": len(marginals),
+                        "spread_mrays": entry[name + "_spread_mrays"],
                         "final_loss": loss,
                     }
                 ),
                 flush=True,
             )
-        entry = {k: round(v, 1) for k, v in results.items()}
-        if "fast" in results:
+        if "fast" in results and "xla" in results:
             entry["fast_over_xla"] = round(results["fast"] / results["xla"], 3)
             print(json.dumps({
                 "metric": f"fast_over_xla_fwd_bwd_speedup_{label}",
                 "value": entry["fast_over_xla"],
                 "unit": "x",
             }), flush=True)
+        if "fast" in results and "fast_g1" in results:
+            entry["groups_over_g1"] = round(
+                results["fast"] / results["fast_g1"], 3
+            )
         artifact["configs"][label] = entry
 
-    # Committed artifact for the driver (VERDICT r2 ask #2/#4): the second
-    # BASELINE metric (fwd+bwd rays/s) recorded per round, not just printed.
-    import glob
-    import re
+    # Committed artifact for the driver: the second BASELINE metric
+    # (fwd+bwd rays/s) recorded per round. Round number from the shared
+    # helper (advisor round-3: a rerun must not drift the series).
+    from tools.artifact import artifact_path
 
-    rounds = [
-        int(m.group(1))
-        for f in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)", f))
-    ]
-    n_round = (max(rounds) + 1) if rounds else 0
-    out = os.environ.get("FWDBWD_ARTIFACT", f"FWDBWD_r{n_round:02d}.json")
+    out = os.environ.get("FWDBWD_ARTIFACT", artifact_path("FWDBWD"))
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({"artifact": out}), flush=True)

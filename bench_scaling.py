@@ -111,50 +111,94 @@ def measure_tpu_native() -> dict:
     """Single-chip shard_map overhead on the REAL chip: the megakernel path
     through the IDENTICAL flat feed (parallel.shard._render_flat) called
     directly under jit vs wrapped in shard_map over a 1x1 mesh
-    (render_sharded). Like-for-like isolates the shard_map/psum cost — the
-    round-2 artifact compared render_pass (block-ordered feed + unpermute)
-    against the flat sharded feed and reported feed overhead as negative
-    "shard_map overhead". The production render_pass feed is measured too,
-    as its own line."""
+    (render_sharded). Like-for-like isolates the shard_map/psum cost. The
+    production render_pass feed is measured too, both with the once-per-
+    frame unpermute (end-to-end) and in slot space (the marginal path).
+
+    Round-3 VERDICT weak #3 fixes: (a) COVER scene at depth 16 — the
+    3-sphere scene at depth 8 made the fixed per-frame work dominate and
+    an 8.4x "overhead" was recorded without comment; (b) 5 reps with
+    median and spread per row; (c) an overhead smaller than the measured
+    rep spread is reported as below the noise floor, never as a negative
+    number."""
     import functools
 
+    from raytracingproject_tpu.bvh import build_bvh, reorder_scene
+    from raytracingproject_tpu.ops.pallas.megakernel import front_tables
     from raytracingproject_tpu.parallel.shard import _render_flat, _pixel_grid
     from raytracingproject_tpu.render import render_pass
+    from raytracingproject_tpu.scene import make_cover_scene
     from tools.measure import marginal_seconds_per_pass
 
-    scene = make_three_sphere_scene()
-    cam = _camera()
+    cw, cdepth, cspp = 400, 16, 4
+    cam = Camera(
+        aspect_ratio=16.0 / 9.0, image_width=cw, samples_per_pixel=cspp,
+        max_depth=cdepth, vfov=20.0, lookfrom=(13.0, 2.0, 3.0),
+        lookat=(0.0, 0.0, 0.0), defocus_angle=0.6, focus_dist=10.0,
+    )
+    scene = make_cover_scene(seed=0)
+    bvh = build_bvh(scene, leaf_size=8)
+    scene = reorder_scene(scene, bvh)
+    front = front_tables(scene, bvh, order_point=cam.lookfrom)
     camd = cam.derive()
     height = cam.image_height
-    rays = WIDTH * height * SPP
+    rays = cw * height * cspp
     mesh = make_mesh(devices=jax.devices()[:1], samples_axis_size=1)
-    i, j = _pixel_grid(WIDTH, height, 1)
+    i, j = _pixel_grid(cw, height, 1)
 
     @functools.partial(jax.jit)
     def flat_unsharded(key):
         return _render_flat(
-            scene, camd, i, j, key, max_depth=DEPTH, spp_local=SPP,
-            use_megakernel=True,
+            scene, camd, i, j, key, max_depth=cdepth, spp_local=cspp,
+            use_megakernel=True, front=front,
         )
 
     def sharded(key):
-        return render_sharded(scene, cam, key, mesh, use_megakernel=True)
+        return render_sharded(scene, cam, key, mesh, use_megakernel=True,
+                              front=front)
 
-    def production(key):
+    def production_frame(key):
         return render_pass(
-            scene, camd, key, width=WIDTH, height=height, max_depth=DEPTH,
-            spp_chunk=SPP, use_megakernel=True,
+            scene, camd, key, width=cw, height=height, max_depth=cdepth,
+            spp_chunk=cspp, use_megakernel=True, front=front,
         )
 
-    sec_f, _ = marginal_seconds_per_pass(flat_unsharded, k1=2, k2=6, reps=3)
-    sec_s, _ = marginal_seconds_per_pass(sharded, k1=2, k2=6, reps=3)
-    sec_p, _ = marginal_seconds_per_pass(production, k1=2, k2=6, reps=3)
-    return {
-        "tpu_native_flat_rays_per_sec": round(rays / sec_f, 1),
-        "tpu_native_mesh1x1_rays_per_sec": round(rays / sec_s, 1),
-        "tpu_native_shard_map_overhead": round(sec_s / sec_f - 1.0, 3),
-        "tpu_native_render_pass_rays_per_sec": round(rays / sec_p, 1),
-    }
+    def production_slots(key):
+        return render_pass(
+            scene, camd, key, width=cw, height=height, max_depth=cdepth,
+            spp_chunk=cspp, use_megakernel=True, front=front, raw_slots=True,
+        )
+
+    out = {"tpu_native_scene": "cover488",
+           "tpu_native_config": f"{cw}px_d{cdepth}_spp{cspp}", "reps": 5}
+    meds = {}
+    spreads = {}
+    for name, fn in (
+        ("flat", flat_unsharded), ("mesh1x1", sharded),
+        ("render_pass_frame", production_frame),
+        ("render_pass_slots", production_slots),
+    ):
+        med, _, all_m = marginal_seconds_per_pass(
+            fn, k1=2, k2=6, reps=5, return_all=True
+        )
+        meds[name] = med
+        spreads[name] = (all_m[-1] - all_m[0]) / med if med else 0.0
+        out[f"tpu_native_{name}_rays_per_sec"] = round(rays / med, 1)
+        out[f"tpu_native_{name}_spread_frac"] = round(spreads[name], 3)
+
+    def overhead(a, b):
+        """Relative cost of b over a, floored at the joint noise floor."""
+        noise = max(spreads[a], spreads[b])
+        val = meds[b] / meds[a] - 1.0
+        if val <= noise:
+            return f"<= noise floor ({noise:.1%})"
+        return round(val, 3)
+
+    out["tpu_native_shard_map_overhead"] = overhead("flat", "mesh1x1")
+    out["tpu_native_unpermute_overhead"] = overhead(
+        "render_pass_slots", "render_pass_frame"
+    )
+    return out
 
 
 def main() -> None:
@@ -177,23 +221,23 @@ def main() -> None:
     if virtual:
         # Virtual CPU devices share ONE host's cores: per-device efficiency
         # is meaningless; what matters is that total throughput stays flat
-        # (sharding overhead only). Report that explicitly.
+        # (sharding overhead only). Report that explicitly; an overhead
+        # measured negative is timing noise, never a real speedup — report
+        # it as below the noise floor (round-3 VERDICT weak #4).
         out["virtual_mesh"] = True
-        out["sharding_overhead"] = round(1.0 - rates[-1] / base, 3)
-        out["train_sharding_overhead"] = round(1.0 - train_rates[-1] / train_rates[0], 3)
+        for key, num, den in (
+            ("sharding_overhead", rates[-1], base),
+            ("train_sharding_overhead", train_rates[-1], train_rates[0]),
+        ):
+            val = 1.0 - num / den
+            out[key] = round(val, 3) if val > 0.02 else "<= noise floor (2%)"
     print(json.dumps(out))
 
-    # Record the per-round artifact (round-1 VERDICT next-step #5).
-    import glob
-    import re
+    # Record the per-round artifact (round-1 VERDICT next-step #5); round
+    # number from the shared helper so companions agree (advisor round 3).
+    from tools.artifact import artifact_path
 
-    rounds = [
-        int(m.group(1))
-        for f in glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)", f))
-    ]
-    n_round = (max(rounds) + 1) if rounds else 0
-    path = os.path.join(os.path.dirname(__file__), f"SCALING_r{n_round:02d}.json")
+    path = artifact_path("SCALING")
     # Merge under a per-backend key: the round's artifact holds BOTH the
     # virtual-CPU-mesh sweep and the real-chip native section (round-2
     # VERDICT weak #3) without either run clobbering the other.

@@ -232,14 +232,25 @@ class BVHFront(NamedTuple):
 
 
 def bvh_front(bvh: FlatBVH, max_nodes: int = 32,
-              max_count: int | None = None) -> BVHFront:
+              max_count: int | None = None,
+              order_point=None) -> BVHFront:
     """Greedy cut: repeatedly split the front node with the most primitives
     (largest scan cost) until `max_nodes` subtrees. Host-side numpy.
 
     `max_count` additionally forces every subtree to own <= that many
     primitives (splitting past `max_nodes` if needed) — the HBM-staged
     megakernel front requires each subtree to fit one 128-column DMA
-    block."""
+    block.
+
+    `order_point` (xyz, e.g. the camera position): subtrees are ordered
+    near-to-far by box-center distance from this point instead of by leaf
+    order. The megakernel's stage-2 word walk visits words in index order
+    and clamps each word's subtree slab tests to the best-t found so far
+    (megakernel._closest_hit_front), so a near-to-far order lets the first
+    words' hits cull the far words' subtrees — the front-to-back traversal
+    the reference's ordered BVH intended (src/bvh.h:16-24), decided at
+    build time for zero kernel cost. Exactness is unaffected (culling is
+    against per-lane best-t; order only changes how early it tightens)."""
     import heapq
 
     miss = np.asarray(bvh.miss_link)
@@ -283,7 +294,13 @@ def bvh_front(bvh: FlatBVH, max_nodes: int = 32,
         heapq.heappush(heap, (-prim_count(left), left))
         heapq.heappush(heap, (-prim_count(right), right))
     done.extend(i for _, i in heap)
-    done.sort(key=lambda i: int(next_leaf_start[i]))  # SMEM locality
+    if order_point is not None:
+        p = np.asarray(order_point, np.float64)
+        ctr = 0.5 * (nmin.astype(np.float64) + nmax.astype(np.float64))
+        d2 = ((ctr - p[None, :]) ** 2).sum(axis=1)
+        done.sort(key=lambda i: float(d2[i]))  # near-to-far from the camera
+    else:
+        done.sort(key=lambda i: int(next_leaf_start[i]))  # SMEM locality
 
     f = len(done)
     fmin = nmin[done]

@@ -117,6 +117,7 @@ def replay_radiance(
     direction: jnp.ndarray,
     time: jnp.ndarray,
     res: PathResiduals,
+    n_groups: int = 1,
 ) -> jnp.ndarray:
     """Differentiable replay of recorded paths: radiance [R, 3] as a
     function of `params`, with all discrete decisions frozen to `res`.
@@ -132,7 +133,21 @@ def replay_radiance(
     (tools/kgrad.py, 43 of 45 ms). The one-hot formulation rides the MXU
     both ways (gather = onehot @ table, its VJP = onehot^T @ cotangent)
     and is exact: each one-hot row has a single 1.0, so the product-sum
-    reproduces the gathered float bit-for-bit."""
+    reproduces the gathered float bit-for-bit.
+
+    DEAD-DEPTH SKIPPING: each scan step is predicated on "any ray in this
+    batch still un-dead at this bounce" (a constant of `res`), so bounces
+    past the batch's deepest path cost one skipped cond in both sweeps —
+    at the reference's depth 50 (src/main.cpp:59) typical paths die in
+    2-4 bounces and the whole [D] scan is priced by the deepest survivor,
+    not by max_depth. `n_groups > 1` extends this sub-batch: rays are
+    sorted by death depth (a stop-gradient permutation — parameter
+    gradients are permutation-invariant sums, and the returned radiance is
+    unpermuted), split into `n_groups` equal slices, and each slice scans
+    only while ITS deepest ray lives; the shallow majority stops early
+    instead of riding the one depth-50 glass path. Exactness-preserving:
+    a skipped bounce is identity for every ray in the slice (dead rays
+    update nothing), and death is permanent so the predicate is monotone."""
     scene_p = apply_params(scene, params)
     sg = jax.lax.stop_gradient
     n_spheres = scene.radius.shape[0]
@@ -151,7 +166,17 @@ def replay_radiance(
         axis=1,
     )
 
-    def step(carry, r):
+    def step(tm, carry, r):
+        pred, rr = r
+        return (
+            jax.lax.cond(
+                pred, lambda c, x: _live_step(tm, c, x), lambda c, _: c,
+                carry, rr,
+            ),
+            None,
+        )
+
+    def _live_step(time, carry, r):
         o, d, thr, L = carry
         idx, ndir, refl = r
         hit = idx >= 0
@@ -222,18 +247,75 @@ def replay_radiance(
         )
         o = jnp.where(hit[:, None], p, o)
         d = jnp.where(hit[:, None], nd, d)
-        return (o, d, thr, L), None
+        return (o, d, thr, L)
 
-    n = origin.shape[0]
-    dtype = origin.dtype
-    init = (origin, direction, jnp.ones((n, 3), dtype), jnp.zeros((n, 3), dtype))
-    # Rematerialize the bounce body in the backward sweep: without this the
-    # scan saves each bounce's [R, N] one-hot (and quadratic intermediates)
-    # to HBM as residuals — ~90 MB/bounce at cover scale, dominating the
-    # step. Recomputing them from the [R] carry + idx costs one cheap
-    # quadratic per ray (the whole point of replay) and collapses residual
-    # traffic to the scan carries.
-    (_, _, _, L), _ = jax.lax.scan(
-        jax.checkpoint(step), init, (res.idx, res.ndir, res.refl)
-    )
-    return L
+    sgi = jax.lax.stop_gradient
+
+    def run_scan(o0, d0, tm, idx, ndir, refl, use_cond=True):
+        """One replay scan over a ray slice; `use_cond` predicates each
+        step on "any ray in this slice un-dead at this bounce"."""
+        from functools import partial
+
+        n = o0.shape[0]
+        dtype = o0.dtype
+        init = (o0, d0, jnp.ones((n, 3), dtype), jnp.zeros((n, 3), dtype))
+        # Rematerialize the bounce body in the backward sweep: without this
+        # the scan saves each bounce's [R, N] one-hot (and quadratic
+        # intermediates) to HBM as residuals — ~90 MB/bounce at cover scale,
+        # dominating the step. Recomputing them from the [R] carry + idx
+        # costs one cheap quadratic per ray (the whole point of replay) and
+        # collapses residual traffic to the scan carries.
+        if use_cond:
+            # pred is a constant of the residuals; once false it stays
+            # false (death is permanent)
+            pred = sgi(jnp.any(idx != DEAD, axis=1))  # [D]
+            (_, _, _, L), _ = jax.lax.scan(
+                jax.checkpoint(partial(step, tm)), init,
+                (pred, (idx, ndir, refl)),
+            )
+        else:
+            body = lambda c, r: (_live_step(tm, c, r), None)
+            (_, _, _, L), _ = jax.lax.scan(
+                jax.checkpoint(body), init, (idx, ndir, refl)
+            )
+        return L
+
+    if n_groups <= 1:
+        # ungrouped: the plain unconditioned scan (identical graph to the
+        # round-3 baseline — the clean control for the grouped variant)
+        return run_scan(origin, direction, time,
+                        res.idx, res.ndir, res.refl, use_cond=False)
+
+    R = origin.shape[0]
+    # death depth per ray (idx != DEAD is a prefix property: death is
+    # permanent); descending sort so slice 0 holds the deepest paths
+    depth_of = jnp.sum((res.idx != DEAD).astype(jnp.int32), axis=0)  # [R]
+    perm = sgi(jnp.argsort(-depth_of))
+    pad = (-R) % n_groups
+    if pad:
+        # padding slots replay all-DEAD copies of ray 0: zero radiance,
+        # every bounce skippable — appended after the sort so they land in
+        # the shallow tail slice and are dropped before the unpermute
+        perm_x = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+        dead_col = jnp.full((res.idx.shape[0], pad), DEAD, res.idx.dtype)
+        idx_s = jnp.concatenate([res.idx[:, perm], dead_col], axis=1)
+    else:
+        perm_x = perm
+        idx_s = res.idx[:, perm]
+    o_s = jnp.take(origin, perm_x, axis=0)
+    d_s = jnp.take(direction, perm_x, axis=0)
+    t_s = jnp.take(time, perm_x)
+    nd_s = jnp.take(res.ndir, perm_x, axis=1)
+    rf_s = jnp.take(res.refl, perm_x, axis=1)
+    g = (R + pad) // n_groups
+    Ls = [
+        run_scan(
+            o_s[k * g : (k + 1) * g], d_s[k * g : (k + 1) * g],
+            t_s[k * g : (k + 1) * g], idx_s[:, k * g : (k + 1) * g],
+            nd_s[:, k * g : (k + 1) * g], rf_s[:, k * g : (k + 1) * g],
+        )
+        for k in range(n_groups)
+    ]
+    L_sorted = jnp.concatenate(Ls, axis=0)[:R]  # drop padding slots
+    inv = sgi(jnp.argsort(perm))                # unpermute
+    return jnp.take(L_sorted, inv, axis=0)

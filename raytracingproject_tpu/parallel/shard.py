@@ -147,6 +147,102 @@ def render_sharded(
     return flat[: width * height].reshape(height, width, 3) / spp
 
 
+def make_sharded_soft_train_step(
+    scene: Scene,
+    camera: Camera,
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation | None = None,
+    *,
+    spp: int = 4,
+    softness: float = 0.02,
+    learning_rate: float = 2e-2,
+    trainable: tuple[str, ...] | None = None,
+    candidates_k: int | None = None,
+):
+    """Silhouette-gradient training sharded over the mesh (round-3 VERDICT
+    missing/next #5): grad.edge.make_soft_train_step's estimator with loss
+    pixels sharded over `rays` and samples over `samples`, the same
+    psum-transpose gradient collective as make_sharded_train_step. The
+    O(R*k) streaming top-k candidate selection (grad/edge.py) runs per
+    shard on its own rays — candidate selection needs no cross-shard data,
+    so the only collectives are the image/loss psums and the ~KB parameter
+    gradient all-reduce.
+
+    Returns (params0, opt_state0, step) with
+    step(params, opt_state, key, target_image, softness_t=softness)."""
+    from raytracingproject_tpu.grad.edge import soft_primary_radiance
+    from raytracingproject_tpu.grad.inverse import trainable_mask
+
+    optimizer = optimizer or optax.adam(learning_rate)
+    if trainable is not None:
+        mask = trainable_mask(trainable)
+        labels = SceneParams(
+            **{f: ("train" if getattr(mask, f) else "freeze")
+               for f in SceneParams._fields}
+        )
+        optimizer = optax.multi_transform(
+            {"train": optimizer, "freeze": optax.set_to_zero()}, labels
+        )
+    width, height = camera.image_size()
+    cam = camera.derive(scene.center0.dtype)
+    max_depth = camera.max_depth
+    n_rays = mesh.shape["rays"]
+    n_samples = mesh.shape["samples"]
+    if spp % n_samples != 0:
+        raise ValueError(f"spp {spp} not divisible by samples axis {n_samples}")
+    spp_local = spp // n_samples
+
+    i, j = _pixel_grid(width, height, n_rays)
+    npix = width * height
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("rays"), P("rays"), P(), P("rays"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def shard_loss(params, scene_in, i_loc, j_loc, key, target_loc, w):
+        ray_id = jax.lax.axis_index("rays")
+        s_id = jax.lax.axis_index("samples")
+        k = jax.random.fold_in(jax.random.fold_in(key, ray_id), s_id)
+
+        def sample_pass(acc, ks):
+            k_ray, k_path = jax.random.split(ks)
+            o, d, t = generate_rays(cam, i_loc, j_loc, k_ray)
+            rad = soft_primary_radiance(
+                params, scene_in, o, d, t, k_path, max_depth, w,
+                candidates_k=candidates_k,
+            )
+            return acc + rad, None
+
+        acc = jnp.zeros((i_loc.shape[0], 3), cam.center.dtype)
+        acc, _ = jax.lax.scan(sample_pass, acc, jax.random.split(k, spp_local))
+        img = jax.lax.psum(acc, "samples") / (spp_local * n_samples)
+        sq = jnp.sum((img - target_loc) ** 2)
+        return jax.lax.psum(sq, "rays") / (npix * 3)
+
+    def loss_fn(params, key, target_flat, w):
+        return shard_loss(params, scene, i, j, key, target_flat, w)
+
+    @jax.jit
+    def step(params, opt_state, key, target_image, softness_t=softness):
+        target_flat = target_image.reshape(-1, 3)
+        pad = i.shape[0] - target_flat.shape[0]
+        target_flat = jnp.concatenate(
+            [target_flat, jnp.broadcast_to(target_flat[0], (pad, 3))], axis=0
+        )
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, key, target_flat, softness_t
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, grads
+
+    params0 = extract_params(scene)
+    return params0, optimizer.init(params0), step
+
+
 def make_sharded_train_step(
     scene: Scene,
     camera: Camera,

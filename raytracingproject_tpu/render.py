@@ -398,10 +398,13 @@ def render(
                 front_tables, front_tables_hbm,
             )
 
+            # near-to-far subtree order from the camera position: stage-2's
+            # best-t clamp culls far words once near geometry has been hit
+            op = tuple(float(x) for x in camera.lookfrom)
             try:
-                front = front_tables(scene, bvh)
+                front = front_tables(scene, bvh, order_point=op)
             except ValueError:
-                front = front_tables_hbm(scene, bvh)
+                front = front_tables_hbm(scene, bvh, order_point=op)
             bvh = None
 
     pixels = width * height

@@ -283,3 +283,134 @@ def test_segmented_record_miss_identity():
         sky_color(jnp.asarray(np.asarray(mdir)))
     )
     np.testing.assert_allclose(total, plain, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# FrontRefresher: per-step geometry-training tables (round-4)
+# ---------------------------------------------------------------------------
+
+def test_front_refresher_matches_front_tables_at_build_params():
+    """At the build-time parameters, refreshed tables must trace identically
+    to the static front_tables path (same partition, same exact boxes up to
+    build-vs-union rounding; the kernel result is what matters)."""
+    from raytracingproject_tpu.bvh import build_bvh, reorder_scene
+    from raytracingproject_tpu.grad.inverse import extract_params
+    from raytracingproject_tpu.ops.pallas.megakernel import (
+        FrontRefresher, front_tables,
+    )
+    from raytracingproject_tpu.scene import make_random_scene
+
+    scene = make_random_scene(60, seed=5)
+    bvh = build_bvh(scene, leaf_size=4)
+    rscene = reorder_scene(scene, bvh)
+    front = front_tables(rscene, bvh, order_point=(13.0, 2.0, 3.0))
+    refresher = FrontRefresher(scene, bvh, order_point=(13.0, 2.0, 3.0))
+    fr2 = refresher.refresh(extract_params(scene))
+
+    cam = Camera(
+        aspect_ratio=16.0 / 9.0, image_width=48, samples_per_pixel=1,
+        max_depth=3, vfov=20.0, lookfrom=(13.0, 2.0, 3.0),
+        lookat=(0.0, 0.0, 0.0),
+    )
+    o, d, t = gen(cam, 2048, jax.random.PRNGKey(3))
+    r1 = pallas_trace_paths(o, d, t, rscene, jnp.int32(5), 3,
+                            front=front, interpret=True)
+    r2 = pallas_trace_paths(o, d, t, scene, jnp.int32(5), 3,
+                            front=fr2, interpret=True)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), atol=1e-6)
+    # remap maps padded columns to ORIGINAL scene order: composing the
+    # leaf remap with prim_order must reproduce it
+    po = np.asarray(bvh.prim_order)
+    np.testing.assert_array_equal(
+        np.asarray(fr2.remap), po[np.asarray(front.remap)]
+    )
+
+
+def test_front_refresher_tracks_moved_geometry():
+    """After moving a sphere, refreshed boxes must still bound it (culling
+    stays exactness-preserving) and the kernel must agree with the brute
+    megakernel on the MOVED scene."""
+    from raytracingproject_tpu.bvh import build_bvh
+    from raytracingproject_tpu.grad.inverse import apply_params, extract_params
+    from raytracingproject_tpu.ops.pallas.megakernel import FrontRefresher
+    from raytracingproject_tpu.scene import make_random_scene
+
+    scene = make_random_scene(40, seed=9)
+    bvh = build_bvh(scene, leaf_size=4)
+    refresher = FrontRefresher(scene, bvh)
+    params = extract_params(scene)
+    moved = params._replace(
+        center0=params.center0.at[7].add(jnp.asarray([0.9, -0.4, 0.6]))
+    )
+    fr = refresher.refresh(moved)
+    moved_scene = apply_params(scene, moved)
+
+    # every sphere is inside its subtree's refreshed box
+    ff = np.asarray(fr.ff)
+    fi = np.asarray(fr.fi)
+    sph = np.asarray(fr.sph)
+    for k in range(fi.shape[1]):
+        s, c = fi[0, k], fi[1, k]
+        if c == 0:
+            continue
+        cols = sph[:, s : s + c]
+        for tt in (0.0, 1.0):
+            ctr = cols[0:3] + tt * cols[3:6]
+            assert (ctr - np.abs(cols[6]) >= ff[0:3, k][:, None] - 1e-5).all()
+            assert (ctr + np.abs(cols[6]) <= ff[3:6, k][:, None] + 1e-5).all()
+
+    cam = Camera(
+        aspect_ratio=16.0 / 9.0, image_width=48, samples_per_pixel=1,
+        max_depth=3, vfov=20.0, lookfrom=(13.0, 2.0, 3.0),
+        lookat=(0.0, 0.0, 0.0),
+    )
+    o, d, t = gen(cam, 2048, jax.random.PRNGKey(4))
+    r_brute = pallas_trace_paths(o, d, t, moved_scene, jnp.int32(5), 3,
+                                 interpret=True)
+    r_front = pallas_trace_paths(o, d, t, moved_scene, jnp.int32(5), 3,
+                                 front=fr, interpret=True)
+    np.testing.assert_allclose(np.asarray(r_front), np.asarray(r_brute),
+                               atol=1e-6)
+
+
+def test_geometry_train_step_dynamic_front_matches_brute():
+    """make_fast_geometry_train_step with refreshed tables must produce the
+    same loss/grads as the brute fast step (same keys; interpret PRNG is
+    deterministic, and culled subtrees cannot contain winners)."""
+    from raytracingproject_tpu.bvh import build_bvh
+    from raytracingproject_tpu.grad.fast import (
+        make_fast_geometry_train_step, make_fast_train_step,
+    )
+    from raytracingproject_tpu.ops.pallas.megakernel import FrontRefresher
+    from raytracingproject_tpu.scene import make_random_scene
+
+    scene = make_random_scene(30, seed=11)
+    cam = Camera(
+        aspect_ratio=1.0, image_width=32, samples_per_pixel=1, max_depth=3,
+        vfov=20.0, lookfrom=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0),
+    )
+    target = jnp.zeros((32, 32, 3))
+    trainable = ("center0", "radius", "albedo")
+
+    bp, bo, bstep = make_fast_train_step(
+        scene, cam, spp=1, trainable=trainable, interpret=True,
+    )
+    bvh = build_bvh(scene, leaf_size=4)
+    refresher = FrontRefresher(scene, bvh, order_point=(13.0, 2.0, 3.0))
+    gp, go, gstep = make_fast_geometry_train_step(
+        scene, cam, spp=1, trainable=trainable, interpret=True,
+    )
+
+    key = jax.random.PRNGKey(6)
+    bp1, _, bloss, bg = bstep(bp, bo, key, target)
+    gp1, _, gloss, gg = gstep(gp, go, key, target, refresher.refresh(gp))
+    np.testing.assert_allclose(float(gloss), float(bloss), rtol=1e-6)
+    for f in bg._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(gg, f)), np.asarray(getattr(bg, f)),
+            atol=1e-6, err_msg=f,
+        )
+    # a second step exercises the refresh-after-update loop
+    gp2, _, gloss2, _ = gstep(gp1, go, jax.random.fold_in(key, 1), target,
+                              refresher.refresh(gp1))
+    assert np.isfinite(float(gloss2))

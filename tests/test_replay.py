@@ -198,3 +198,67 @@ def test_fast_radiance_custom_vjp_interpret():
     )(params)
     np.testing.assert_allclose(float(val), float(jnp.sum(rad * w)), rtol=1e-5)
     _assert_grads_match(scene, g_ref, g, 1e-4)
+
+
+def test_grouped_replay_matches_ungrouped():
+    """Dead-depth-skipping grouped replay (n_groups > 1): radiance and
+    gradients must equal the plain replay — the sort/slice/cond machinery
+    is a pure evaluation-order change (grad/replay.py docstring). Uses a
+    ray count NOT divisible by the group count to exercise the DEAD-padded
+    tail slice."""
+    scene, sc = _setup(make_cover_scene, **CAM_COVER)
+    o, d, t = _rays(sc, 1003, jax.random.PRNGKey(17))
+    key = jax.random.PRNGKey(19)
+    _, res = xla_trace_record(scene, o, d, t, key, DEPTH)
+    params = extract_params(scene)
+    w = jax.random.uniform(jax.random.PRNGKey(23), (o.shape[0], 3))
+
+    rad1 = replay_radiance(params, scene, o, d, t, res)
+    g1 = jax.grad(
+        lambda p: jnp.sum(replay_radiance(p, scene, o, d, t, res) * w)
+    )(params)
+    for ng in (4, 7):
+        radk = replay_radiance(params, scene, o, d, t, res, n_groups=ng)
+        np.testing.assert_allclose(
+            np.asarray(radk), np.asarray(rad1), atol=1e-6,
+            err_msg=f"n_groups={ng}",
+        )
+        gk = jax.grad(
+            lambda p: jnp.sum(
+                replay_radiance(p, scene, o, d, t, res, n_groups=ng) * w
+            )
+        )(params)
+        # grouped scans run cond-wrapped steps; XLA fuses the two graphs
+        # differently, so gradients agree to float precision (measured
+        # 2.6e-5 relative), not bit-exactly
+        _assert_grads_match(scene, g1, gk, 2e-4)
+
+
+def test_replay_dead_depth_predicate_skips():
+    """Residuals whose tail bounces are all DEAD must produce identical
+    radiance whether the scan runs them or skips them — checked by
+    extending the residuals with extra all-DEAD depth rows (as a depth-50
+    recording of shallow paths would contain)."""
+    scene, sc = _setup(make_three_sphere_scene, **CAM3)
+    o, d, t = _rays(sc, 512, jax.random.PRNGKey(29))
+    _, res = xla_trace_record(scene, o, d, t, jax.random.PRNGKey(31), DEPTH)
+    params = extract_params(scene)
+    base = replay_radiance(params, scene, o, d, t, res)
+
+    import jax.numpy as jnp2
+    from raytracingproject_tpu.grad.replay import DEAD, PathResiduals
+
+    extra = 10
+    res50 = PathResiduals(
+        idx=jnp2.concatenate(
+            [res.idx, jnp2.full((extra, res.idx.shape[1]), DEAD, res.idx.dtype)]
+        ),
+        ndir=jnp2.concatenate(
+            [res.ndir, jnp2.zeros((extra,) + res.ndir.shape[1:], res.ndir.dtype)]
+        ),
+        refl=jnp2.concatenate(
+            [res.refl, jnp2.zeros((extra,) + res.refl.shape[1:], bool)]
+        ),
+    )
+    deep = replay_radiance(params, scene, o, d, t, res50, n_groups=4)
+    np.testing.assert_allclose(np.asarray(deep), np.asarray(base), atol=1e-6)

@@ -72,3 +72,54 @@ def test_session_texture_becomes_environment(tmp_path):
     assert not np.array_equal(plain, red)
     # red environment: red channel dominates everywhere in the textured frame
     assert (red[..., 0].astype(int) >= red[..., 2].astype(int)).mean() > 0.99
+
+
+def test_megakernel_record_miss_env_map_matches_xla():
+    """Advisor round-3: a REAL (non-default) texture through the megakernel
+    miss-recording path, runnable off-hardware. Interpret mode zeroes the
+    in-kernel PRNG, so the scene uses only deterministic physics — metal
+    with fuzz 0 (mirror reflection consumes no randomness in either
+    renderer) — making the Pallas paths bit-comparable to the XLA oracle:
+      pallas(record_miss) + miss_thr * sky_color(miss_dir, tex)
+    must equal ray_color(..., sky_tex=tex). This is exactly the formula
+    render_pass applies to the recorded planes (render.py), so the env-map
+    exactness contract is exercised with a real texture end-to-end."""
+    from raytracingproject_tpu.camera import generate_rays
+    from raytracingproject_tpu.ops.pallas.megakernel import pallas_trace_paths
+    from raytracingproject_tpu.render import ray_color
+    from raytracingproject_tpu.scene import SceneBuilder
+
+    scene = (
+        SceneBuilder()
+        .add_metal(center=(0.0, 0.0, -1.5), radius=0.5,
+                   albedo=(0.9, 0.8, 0.7), fuzz=0.0)
+        .add_metal(center=(1.1, 0.2, -2.0), radius=0.4,
+                   albedo=(0.6, 0.7, 0.9), fuzz=0.0)
+        .build()
+    )
+    key = jax.random.PRNGKey(2)
+    ht, wt = 12, 24
+    tex = jnp.asarray(
+        jax.random.uniform(jax.random.PRNGKey(5), (ht, wt, 3)) * 0.9 + 0.05
+    )
+
+    cam = Camera(
+        aspect_ratio=16.0 / 9.0, image_width=64, samples_per_pixel=1,
+        max_depth=4, vfov=90.0, lookfrom=(0.0, 0.0, 0.0),
+        lookat=(0.0, 0.0, -1.0), defocus_angle=0.0, focus_dist=1.0,
+    )
+    d = cam.derive()
+    w, h = cam.image_size()
+    jj, ii = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+                          jnp.arange(w, dtype=jnp.int32), indexing="ij")
+    o, dr, t = generate_rays(d, ii.reshape(-1), jj.reshape(-1), key)
+
+    rad, mdir, mthr = pallas_trace_paths(
+        o, dr, t, scene, jnp.int32(3), 4, interpret=True, record_miss=True
+    )
+    total = np.asarray(rad) + np.asarray(mthr) * np.asarray(
+        sky_color(mdir, tex)
+    )
+    ref = np.asarray(ray_color(scene, o, dr, t, jax.random.PRNGKey(9), 4,
+                               sky_tex=tex))
+    np.testing.assert_allclose(total, ref, atol=2e-5)

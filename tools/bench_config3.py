@@ -78,7 +78,7 @@ def main() -> None:
 
         bvh = build_bvh(scene, leaf_size=8)
         scene = reorder_scene(scene, bvh)
-        front = front_tables(scene, bvh)
+        front = front_tables(scene, bvh, order_point=(13.0, 2.0, 3.0))
 
     def one_pass(key):
         return render_pass(
@@ -156,13 +156,9 @@ def main() -> None:
     }
     print(json.dumps(out), flush=True)
 
-    rounds = [
-        int(m.group(1))
-        for f in glob.glob("/root/repo/BENCH_r*.json")
-        if (m := re.search(r"BENCH_r(\d+)", f))
-    ]
-    n_round = (max(rounds) + 1) if rounds else 0
-    with open(f"/root/repo/CONFIG3_r{n_round:02d}.json", "w") as f:
+    from tools.artifact import artifact_path
+
+    with open(artifact_path("CONFIG3"), "w") as f:
         json.dump(out, f, indent=1)
 
 

@@ -33,15 +33,23 @@ W, H, DEPTH = 400, 225, 16
 ROWS: list[dict] = []
 
 
-def bench_scene(scene, tag: str, fronts=(None,)) -> None:
+CAM_POS = (13.0, 2.0, 3.0)
+
+
+def bench_scene(scene, tag: str, fronts=(None,), unordered_control=False) -> None:
     """Measures the PRODUCTION path (render_pass: block-tiled rays +
-    megakernel) so numbers reflect what render() users get."""
+    megakernel) so numbers reflect what render() users get.
+
+    Fronts are built camera-distance-ordered (near-to-far best-t culling,
+    bvh.bvh_front order_point); `unordered_control=True` additionally
+    measures the first front size with the round-3 leaf ordering so the
+    ordering win is isolated in the artifact."""
     from raytracingproject_tpu.render import render_pass
 
     n = int(scene.radius.shape[0])
     cam = Camera(
         aspect_ratio=16 / 9, image_width=W, samples_per_pixel=1, max_depth=DEPTH,
-        vfov=20.0, lookfrom=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0),
+        vfov=20.0, lookfrom=CAM_POS, lookat=(0.0, 0.0, 0.0),
         defocus_angle=0.6, focus_dist=10.0,
     ).derive()
     rays = W * H
@@ -64,14 +72,18 @@ def bench_scene(scene, tag: str, fronts=(None,)) -> None:
         print(json.dumps({"scene": tag, "n": n, "path": "brute",
                           "error": str(e)[:120]}), flush=True)
 
-    for f in fronts:
+    variants = [(f, CAM_POS) for f in fronts]
+    if unordered_control:
+        variants.append((fronts[0], None))
+    for f, op in variants:
         fn = default_front_nodes(n) if f is None else f
+        suffix = "" if op is not None else "_unordered"
         try:
-            front = front_tables(rscene, bvh, max_nodes=fn)
-            label = f"front_{fn}"
+            front = front_tables(rscene, bvh, max_nodes=fn, order_point=op)
+            label = f"front_{fn}{suffix}"
         except ValueError:
-            front = front_tables_hbm(rscene, bvh, max_nodes=fn)
-            label = f"front_hbm_{front.ff.shape[1]}"
+            front = front_tables_hbm(rscene, bvh, max_nodes=fn, order_point=op)
+            label = f"front_hbm_{front.ff.shape[1]}{suffix}"
 
         def make_front(key, front=front):
             return render_pass(rscene, cam, key, width=W, height=H,
@@ -92,28 +104,21 @@ def main() -> None:
     extras = [int(a) for a in sys.argv[1:]] or [0, 5000]
     for ne in extras:
         if ne == 0:
-            bench_scene(make_cover_scene(seed=0), "cover488", fronts=(None, 48))
+            bench_scene(make_cover_scene(seed=0), "cover488",
+                        fronts=(None, 48, 96), unordered_control=True)
         elif ne <= 15000:
             bench_scene(make_random_scene(ne, seed=3), f"random{ne}",
-                        fronts=(None, 192, 240))
+                        fronts=(None, 384, 624), unordered_control=True)
         else:
             bench_scene(make_random_scene(ne, seed=3), f"random{ne}",
-                        fronts=(None,))
+                        fronts=(None,), unordered_control=True)
 
     # per-round artifact (round-2 VERDICT #3 asked for committed evidence
-    # of front scaling at 5k/50k spheres)
-    import glob
-    import os
-    import re
+    # of front scaling at 5k/50k spheres); round number from the shared
+    # helper so companion artifacts agree (advisor round-3 finding)
+    from tools.artifact import artifact_path
 
-    rounds = [
-        int(m.group(1))
-        for f in glob.glob(os.path.join(os.path.dirname(__file__), "..", "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)", f))
-    ]
-    n_round = (max(rounds) + 1) if rounds else 0
-    path = os.path.join(os.path.dirname(__file__), "..", f"FRONT_r{n_round:02d}.json")
-    with open(path, "w") as f:
+    with open(artifact_path("FRONT"), "w") as f:
         json.dump({"depth": DEPTH, "resolution": f"{W}x{H}", "rows": ROWS}, f, indent=1)
 
 

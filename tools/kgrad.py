@@ -1,12 +1,18 @@
 """Isolate where fwd+bwd time goes on the fast path (cover scene).
 
 Times, with the marginal methodology (tools/measure.py):
-  fwd        — pallas_trace_paths (no residuals), brute + front
-  record     — pallas_trace_record (residual-recording forward)
-  replay_bwd — value_and_grad through replay_radiance with FIXED residuals
-  full       — the custom-VJP fast radiance (record + replay bwd)
+  fwd          — pallas_trace_paths (no residuals), brute
+  fwd_front    — same, front-culled closest hit
+  record       — pallas_trace_record (residual-recording forward), brute
+  record_front — same, front-culled (round-3 VERDICT weak #2: the front
+                 RECORDING forward measured slower than brute on the cover
+                 scene; this splits exactly where)
+  replay_bwd   — value_and_grad through replay_radiance, FIXED residuals
+  replay_bwd_gG — same with dead-depth-skipping grouped replay (G groups)
+  full         — the custom-VJP fast radiance (record + replay bwd)
 
 Run on the real chip: `python -m tools.kgrad [width] [spp] [depth]`.
+Emits one JSON object; tools/kprobes.py aggregates it into KPROBES_r*.json.
 """
 
 from __future__ import annotations
@@ -21,22 +27,21 @@ from raytracingproject_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
+from raytracingproject_tpu.bvh import build_bvh, reorder_scene
 from raytracingproject_tpu.camera import Camera, generate_rays
 from raytracingproject_tpu.grad.fast import make_fast_radiance
 from raytracingproject_tpu.grad.inverse import extract_params
 from raytracingproject_tpu.grad.replay import replay_radiance
 from raytracingproject_tpu.ops.pallas.megakernel import (
-    pallas_trace_paths, pallas_trace_record,
+    front_tables, pallas_trace_paths, pallas_trace_record,
 )
 from raytracingproject_tpu.scene import make_cover_scene
 from tools.measure import marginal_seconds_per_pass
 
+GROUPS = 8
 
-def main() -> None:
-    width = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    spp = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    depth = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
+def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
     scene = make_cover_scene(seed=0)
     cam = Camera(
         aspect_ratio=16.0 / 9.0, image_width=width, samples_per_pixel=spp,
@@ -46,6 +51,10 @@ def main() -> None:
     height = cam.image_height
     camd = cam.derive(jnp.float32)
     n_rays = width * height * spp
+
+    bvh = build_bvh(scene, leaf_size=8)
+    rscene = reorder_scene(scene, bvh)
+    front = front_tables(rscene, bvh, order_point=(13.0, 2.0, 3.0))
 
     jj, ii = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.int32), jnp.arange(width, dtype=jnp.int32),
@@ -64,48 +73,75 @@ def main() -> None:
         seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
         return pallas_trace_paths(o, d, t, scene, seed, depth)
 
+    def p_fwd_front(key):
+        o, d, t = rays_of(key)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        return pallas_trace_paths(o, d, t, rscene, seed, depth, front=front)
+
     def p_record(key):
         o, d, t = rays_of(key)
         seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
         rad, res = pallas_trace_record(o, d, t, scene, seed, depth)
         return rad.sum() + res.ndir.sum() + res.idx.sum()
 
+    def p_record_front(key):
+        o, d, t = rays_of(key)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        rad, res = pallas_trace_record(o, d, t, rscene, seed, depth,
+                                       front=front)
+        return rad.sum() + res.ndir.sum() + res.idx.sum()
+
     # fixed residuals for the isolated backward
     o0, d0, t0 = rays_of(jax.random.PRNGKey(7))
-    _, res0 = pallas_trace_record(
-        o0, d0, t0, scene, jnp.int32(123), depth
-    )
+    _, res0 = pallas_trace_record(o0, d0, t0, scene, jnp.int32(123), depth)
     res0 = jax.tree.map(lambda x: x.block_until_ready(), res0)
 
-    def p_replay_bwd(key):
-        def loss(p):
-            rad = replay_radiance(p, scene, o0, d0, t0, res0)
-            return jnp.mean(rad * jax.random.uniform(key, rad.shape))
+    def make_replay_bwd(groups):
+        def p(key):
+            def loss(p_):
+                rad = replay_radiance(p_, scene, o0, d0, t0, res0,
+                                      n_groups=groups)
+                return jnp.mean(rad * jax.random.uniform(key, rad.shape))
 
-        l, g = jax.value_and_grad(loss)(params)
-        return l + sum(jnp.sum(v) for v in jax.tree.leaves(g))
+            l, g = jax.value_and_grad(loss)(params)
+            return l + sum(jnp.sum(v) for v in jax.tree.leaves(g))
 
-    radiance_fn = make_fast_radiance(scene, depth)
+        return p
+
+    radiance_fn = make_fast_radiance(scene, depth,
+                                     replay_groups=GROUPS if depth > 16 else 1)
 
     def p_full(key):
         o, d, t = rays_of(key)
         seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.float32)
 
-        def loss(p):
-            return jnp.mean(radiance_fn(p, o, d, t, seed))
+        def loss(p_):
+            return jnp.mean(radiance_fn(p_, o, d, t, seed))
 
         l, g = jax.value_and_grad(loss)(params)
         return l + sum(jnp.sum(v) for v in jax.tree.leaves(g))
 
-    out = {"n_rays": n_rays, "depth": depth}
-    for name, fn in [
-        ("fwd", p_fwd), ("record", p_record),
-        ("replay_bwd", p_replay_bwd), ("full", p_full),
-    ]:
+    out = {"n_rays": n_rays, "depth": depth, "width": width, "spp": spp}
+    probes = [
+        ("fwd", p_fwd), ("fwd_front", p_fwd_front),
+        ("record", p_record), ("record_front", p_record_front),
+        ("replay_bwd", make_replay_bwd(1)),
+        (f"replay_bwd_g{GROUPS}", make_replay_bwd(GROUPS)),
+        ("full", p_full),
+    ]
+    for name, fn in probes:
         sec, _ = marginal_seconds_per_pass(fn)
         out[name + "_mrays_s"] = round(n_rays / sec / 1e6, 3)
         out[name + "_ms"] = round(sec * 1e3, 2)
         print(json.dumps(out), flush=True)
+    return out
+
+
+def main() -> None:
+    width = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    spp = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    depth = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    run(width, spp, depth)
 
 
 if __name__ == "__main__":

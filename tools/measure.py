@@ -54,8 +54,11 @@ def marginal_seconds_per_pass(
     k1: int = 4,
     k2: int = 12,
     reps: int = 3,
-) -> tuple[float, float]:
-    """(median marginal seconds/pass, checksum of last run).
+    return_all: bool = False,
+):
+    """(median marginal seconds/pass, checksum of last run) — or, with
+    `return_all`, (median, checksum, sorted marginals list) so callers can
+    record the spread (round-3 VERDICT: single samples hid ~30% variance).
 
     The checksum is returned so callers can assert it is finite — a backend
     that skipped the work would produce garbage or hang, not a plausible sum.
@@ -83,4 +86,6 @@ def marginal_seconds_per_pass(
         marginals.append((d2 - d1) / (k2 - k1))
     if not marginals:
         raise RuntimeError("timing reps all showed dt(K2) <= dt(K1); chip too noisy")
+    if return_all:
+        return statistics.median(marginals), checksum, sorted(marginals)
     return statistics.median(marginals), checksum

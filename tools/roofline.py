@@ -1,0 +1,186 @@
+"""Roofline/utilization accounting: tie rays/s to the chip's measured peak.
+
+Round-3 VERDICT missing #3: 13.5 Mrays/s forward was never converted to
+achieved VPU throughput vs the chip's actual peak, so "fast" was
+unquantified and the next 2x invisible. This tool:
+
+1. Measures the VPU peak ON THIS CHIP with a pure-FMA Pallas microkernel
+   (8 independent (8,128)-tile FMA chains per grid step — enough ILP to
+   saturate the issue pipeline; no spec-sheet numbers anywhere).
+2. Counts the megakernel's vector-ALU ops per sphere test ANALYTICALLY
+   from the kernel source (_sphere_test_ld, ops/pallas/megakernel.py:
+   census below) — every op occupies one VPU issue slot, same as one FMA,
+   so ops/s over FMA/s is issue-slot utilization (FLOP utilization would
+   flatter compares: cmp/select occupy slots but do 0-1 FLOPs).
+3. Converts measured rays/s into achieved ops/s for
+   - the isolated closest-hit kernel (brute u8, cover scene, 487 spheres),
+   - the full forward megakernel (brute; per-ray bounce count measured
+     from a residual recording, since dead rays stop paying),
+   and reports `vpu_util` for each. The front-culled path is reported as
+   rays/s only — its tested-sphere count is data-dependent; its win is
+   DOING FEWER OPS, so utilization of the brute path plus the front's
+   speedup factor bounds it.
+
+Writes ROOFLINE_r*.json. Usage: python -m tools.roofline
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracingproject_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from raytracingproject_tpu.camera import Camera, generate_rays
+from raytracingproject_tpu.ops.pallas.megakernel import (
+    pallas_trace_paths, pallas_trace_record,
+)
+from raytracingproject_tpu.scene import make_cover_scene
+from tools.measure import marginal_seconds_per_pass
+
+SUB, LANES = 8, 128
+
+# --- op census of one sphere test (_sphere_test_ld), per lane ---
+# center lerp (3 fma) + oc (3 sub) + half_b (mul + 2 fma) + cq (mul +
+# 2 fma + fma) + disc (2 mul + sub) + dpos (cmp) + sq (select + sqrt) +
+# r0/r1 (2 x (sub + mul)) + in0/in1 (4 cmp + 2 and) + root (select) +
+# better (2 and/or) + 12 winner selects = 54 issue slots per sphere/lane.
+OPS_PER_SPHERE_TEST = 54
+# shading/bounce bookkeeping per bounce per lane (normal, sky, all three
+# scatter variants computed masked, RNG draws, state selects): counted the
+# same way over _bounce_loop's bounce() body, ~210 slots — small next to
+# 487 x 54 but included for honesty.
+OPS_PER_BOUNCE_SHADE = 210
+
+CHAINS = 8
+ITERS = 4096
+
+
+def _fma_kernel(x_ref, o_ref):
+    xs = tuple(x_ref[:] * (1.0 + 1e-6 * k) for k in range(CHAINS))
+
+    def body(i, xs):
+        # the constants are loop-invariant scalars; each line is one VPU fma
+        return tuple(x * 1.000000119 + 1e-30 for x in xs)
+
+    xs = jax.lax.fori_loop(0, ITERS, body, xs)
+    acc = xs[0]
+    for x in xs[1:]:
+        acc = acc + x
+    o_ref[:] = acc
+
+
+def measure_vpu_peak(tiles: int = 512) -> float:
+    """Measured FMA slots/s (1 fma = 1 slot = 2 flops)."""
+    spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        _fma_kernel,
+        grid=(tiles,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((tiles * SUB, LANES), jnp.float32),
+    )
+    x = jnp.ones((tiles * SUB, LANES), jnp.float32)
+
+    def one_pass(key):
+        return call(x * jax.random.uniform(key, ()))
+
+    sec, _ = marginal_seconds_per_pass(one_pass, k1=4, k2=12, reps=3)
+    fmas = tiles * CHAINS * ITERS * SUB * LANES
+    return fmas / sec
+
+
+def main() -> None:
+    out: dict = {"ops_per_sphere_test": OPS_PER_SPHERE_TEST,
+                 "ops_per_bounce_shade": OPS_PER_BOUNCE_SHADE}
+
+    peak = measure_vpu_peak()
+    out["vpu_peak_fma_slots_per_sec"] = round(peak, -6)
+    out["vpu_peak_f32_tflops"] = round(2 * peak / 1e12, 3)
+    print(json.dumps({"vpu_peak_f32_tflops": out["vpu_peak_f32_tflops"]}),
+          flush=True)
+
+    scene = make_cover_scene(seed=0)
+    n = int(scene.radius.shape[0])
+    W, H, DEPTH = 400, 225, 16
+    cam = Camera(
+        aspect_ratio=16 / 9, image_width=W, samples_per_pixel=1,
+        max_depth=DEPTH, vfov=20.0, lookfrom=(13.0, 2.0, 3.0),
+        lookat=(0.0, 0.0, 0.0), defocus_angle=0.6, focus_dist=10.0,
+    ).derive()
+    jj, ii = jnp.meshgrid(jnp.arange(H, dtype=jnp.int32),
+                          jnp.arange(W, dtype=jnp.int32), indexing="ij")
+    i_idx, j_idx = ii.reshape(-1), jj.reshape(-1)
+    rays = W * H
+
+    # mean bounce count (constant of the scene/camera): from one recording
+    _, res = pallas_trace_record(
+        *generate_rays(cam, i_idx, j_idx, jax.random.PRNGKey(3)),
+        scene, jnp.int32(5), DEPTH,
+    )
+    mean_bounces = float((res.idx != -2).sum(axis=0).mean())
+    out["mean_bounces_cover_d16"] = round(mean_bounces, 3)
+
+    # isolated closest-hit (1 bounce): depth-1 brute megakernel. Per-ray
+    # ops = N * 54 + shade; dead-ray tiles can't early-exit at depth 1.
+    def fwd_depth1(key):
+        o, d, t = generate_rays(cam, i_idx, j_idx, key)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        return pallas_trace_paths(o, d, t, scene, seed, 1)
+
+    sec, _ = marginal_seconds_per_pass(fwd_depth1, k1=4, k2=12, reps=3)
+    rps = rays / sec
+    ops = rps * (n * OPS_PER_SPHERE_TEST + OPS_PER_BOUNCE_SHADE)
+    out["closest_hit_mrays_s"] = round(rps / 1e6, 2)
+    out["closest_hit_vpu_util"] = round(ops / peak, 4)
+    print(json.dumps({"closest_hit_mrays_s": out["closest_hit_mrays_s"],
+                      "vpu_util": out["closest_hit_vpu_util"]}), flush=True)
+
+    # full forward (depth 16, brute): per-ray ops = mean_bounces * (N*54 +
+    # shade). Tile early exit means dead bounces are mostly unpaid, which
+    # is exactly what mean_bounces prices in.
+    def fwd(key):
+        o, d, t = generate_rays(cam, i_idx, j_idx, key)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        return pallas_trace_paths(o, d, t, scene, seed, DEPTH)
+
+    sec, _ = marginal_seconds_per_pass(fwd, k1=4, k2=12, reps=3)
+    rps = rays / sec
+    ops = rps * mean_bounces * (n * OPS_PER_SPHERE_TEST + OPS_PER_BOUNCE_SHADE)
+    out["forward_brute_mrays_s"] = round(rps / 1e6, 2)
+    out["forward_brute_vpu_util"] = round(ops / peak, 4)
+    print(json.dumps({"forward_brute_mrays_s": out["forward_brute_mrays_s"],
+                      "vpu_util": out["forward_brute_vpu_util"]}), flush=True)
+
+    # recording forward (residual planes added)
+    def rec(key):
+        o, d, t = generate_rays(cam, i_idx, j_idx, key)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        rad, r = pallas_trace_record(o, d, t, scene, seed, DEPTH)
+        return rad.sum() + r.ndir.sum()
+
+    sec, _ = marginal_seconds_per_pass(rec, k1=4, k2=12, reps=3)
+    rps = rays / sec
+    ops = rps * mean_bounces * (n * OPS_PER_SPHERE_TEST + OPS_PER_BOUNCE_SHADE)
+    out["record_brute_mrays_s"] = round(rps / 1e6, 2)
+    out["record_brute_vpu_util"] = round(ops / peak, 4)
+    print(json.dumps({"record_brute_mrays_s": out["record_brute_mrays_s"],
+                      "vpu_util": out["record_brute_vpu_util"]}), flush=True)
+
+    from tools.artifact import artifact_path
+
+    path = artifact_path("ROOFLINE")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"artifact": path}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,12 +19,9 @@ import time
 
 
 def next_round() -> int:
-    rounds = [
-        int(m.group(1))
-        for f in glob.glob("BENCH_r*.json")
-        if (m := re.search(r"BENCH_r(\d+)", f))
-    ]
-    return (max(rounds) + 1) if rounds else 0
+    from tools.artifact import artifact_round
+
+    return artifact_round()
 
 
 def main() -> None:
