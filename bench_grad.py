@@ -15,10 +15,11 @@ Paths:
   fast_front_materials — materials-only training with the front-culled
                    recording forward (fixed geometry keeps the tables valid).
 
-Depth-50 rows run the `fast` path with replay_groups (dead-depth-skipping
-grouped replay, grad/replay.py) and a groups=1 control, closing round-3
-VERDICT missing #1: the flagship operating point (src/main.cpp:57-60 is
-1200x675 @ depth 50) now has measured fwd+bwd numbers.
+Depth-50 rows close round-3 VERDICT missing #1 (the flagship operating
+point, src/main.cpp:57-60, is 1200x675 @ depth 50): `fast` runs the
+production replay (dead-bounce cond-skipping, auto-on at deep depth);
+`fast_noskip` and `fast_g8` are the measured controls for the skip and for
+death-depth-sorted grouping respectively.
 
 Methodology: N sequential steps form a true dependency chain closed by a
 host fetch of the final loss; the marginal cost between two step counts
@@ -137,22 +138,34 @@ def main() -> None:
                                               trainable=TRAINABLE)
             paths["xla"] = (step, extract_params(scene), opt_state)
         if on_tpu:
-            groups = REPLAY_GROUPS if deep else 1
+            # "fast" = the production config: plain ungrouped replay with
+            # dead-bounce cond-skipping at deep depth only (replay_radiance
+            # auto default — measured on hardware: the cond wrap costs ~2x
+            # at depth 8 where nothing skips, and wins ~5x at depth 50
+            # where the whole-batch-dead tail dominates; FWDBWD_r04).
             fp, fo, fstep = make_fast_train_step(
                 scene, cam, spp=spp, trainable=TRAINABLE,
-                replay_groups=groups,
             )
             paths["fast"] = (fstep, fp, fo)
             if deep:
-                # groups=1 control: isolates the dead-depth-skipping win
-                g1p, g1o, g1step = make_fast_train_step(
-                    scene, cam, spp=spp, trainable=TRAINABLE, replay_groups=1,
+                # controls: no-skip isolates the cond-skip win; grouped
+                # (death-depth-sorted slices) is the measured-and-retained
+                # alternative — it LOST at 400px (scan serialization) and
+                # only marginally won at 1200x675 in round 4
+                nsp, nso, nsstep = make_fast_train_step(
+                    scene, cam, spp=spp, trainable=TRAINABLE,
+                    replay_skip_dead=False,
                 )
-                paths["fast_g1"] = (g1step, g1p, g1o)
+                paths["fast_noskip"] = (nsstep, nsp, nso)
+                g8p, g8o, g8step = make_fast_train_step(
+                    scene, cam, spp=spp, trainable=TRAINABLE,
+                    replay_groups=REPLAY_GROUPS,
+                )
+                paths["fast_g8"] = (g8step, g8p, g8o)
             # materials-only rows: brute vs front with the SAME trainable
             # set, so the path is the only difference between them
             bp, bo, bstep = make_fast_train_step(
-                scene, cam, spp=spp, trainable=MATERIALS, replay_groups=groups,
+                scene, cam, spp=spp, trainable=MATERIALS,
             )
             paths["fast_materials"] = (bstep, bp, bo)
             from raytracingproject_tpu.bvh import build_bvh, reorder_scene
@@ -164,7 +177,6 @@ def main() -> None:
                 fscene, cam, spp=spp, trainable=MATERIALS,
                 front=front_tables(fscene, fbvh,
                                    order_point=cam_kw["lookfrom"]),
-                replay_groups=groups,
             )
             paths["fast_front_materials"] = (mstep, mp, mo)
 
@@ -199,9 +211,9 @@ def main() -> None:
                 "value": entry["fast_over_xla"],
                 "unit": "x",
             }), flush=True)
-        if "fast" in results and "fast_g1" in results:
-            entry["groups_over_g1"] = round(
-                results["fast"] / results["fast_g1"], 3
+        if "fast" in results and "fast_noskip" in results:
+            entry["skip_over_noskip"] = round(
+                results["fast"] / results["fast_noskip"], 3
             )
         artifact["configs"][label] = entry
 

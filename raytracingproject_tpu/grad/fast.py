@@ -33,7 +33,8 @@ from raytracingproject_tpu.scene import Scene
 
 
 def make_fast_radiance(scene: Scene, max_depth: int, bvh=None, front=None,
-                       interpret: bool = False, replay_groups: int = 1):
+                       interpret: bool = False, replay_groups: int = 1,
+                       replay_skip_dead: bool | None = None):
     """Build radiance_fn(params, origin, direction, time, seed_f32) -> [R,3]
     with the Pallas-forward / replay-backward custom VJP.
 
@@ -78,7 +79,8 @@ def make_fast_radiance(scene: Scene, max_depth: int, bvh=None, front=None,
         params, origin, direction, time, res = saved
         _, vjp = jax.vjp(
             lambda p: replay_radiance(p, scene, origin, direction, time, res,
-                                      n_groups=replay_groups),
+                                      n_groups=replay_groups,
+                                      skip_dead=replay_skip_dead),
             params,
         )
         (g_params,) = vjp(g)
@@ -96,7 +98,8 @@ def make_fast_radiance(scene: Scene, max_depth: int, bvh=None, front=None,
 
 def make_fast_radiance_dynamic_front(scene: Scene, max_depth: int,
                                      interpret: bool = False,
-                                     replay_groups: int = 1):
+                                     replay_groups: int = 1,
+                                     replay_skip_dead: bool | None = None):
     """make_fast_radiance with the front tables as a TRACED ARGUMENT:
     radiance_fn(params, origin, direction, time, seed_f32, front) -> [R,3].
 
@@ -142,7 +145,8 @@ def make_fast_radiance_dynamic_front(scene: Scene, max_depth: int,
         params, origin, direction, time, res, front = saved
         _, vjp = jax.vjp(
             lambda p: replay_radiance(p, scene, origin, direction, time, res,
-                                      n_groups=replay_groups),
+                                      n_groups=replay_groups,
+                                      skip_dead=replay_skip_dead),
             params,
         )
         (g_params,) = vjp(g)
@@ -169,6 +173,7 @@ def make_fast_geometry_train_step(
     trainable: tuple[str, ...] | None = None,
     interpret: bool = False,
     replay_groups: int = 1,
+    replay_skip_dead: bool | None = None,
 ):
     """Geometry-capable fast training with per-step front refresh.
 
@@ -197,7 +202,8 @@ def make_fast_geometry_train_step(
     cam = camera.derive(scene.center0.dtype)
     max_depth = camera.max_depth
     radiance_fn = make_fast_radiance_dynamic_front(
-        scene, max_depth, interpret=interpret, replay_groups=replay_groups
+        scene, max_depth, interpret=interpret, replay_groups=replay_groups,
+        replay_skip_dead=replay_skip_dead,
     )
 
     jj, ii = jnp.meshgrid(
@@ -242,6 +248,7 @@ def make_fast_train_step(
     bvh=None,
     front=None,
     replay_groups: int = 1,
+    replay_skip_dead: bool | None = None,
 ):
     """Inverse-rendering train step on the fast path (grad/inverse.py's
     make_train_step with the Pallas forward + replay backward).
@@ -286,7 +293,8 @@ def make_fast_train_step(
     max_depth = camera.max_depth
     radiance_fn = make_fast_radiance(scene, max_depth, bvh=bvh, front=front,
                                      interpret=interpret,
-                                     replay_groups=replay_groups)
+                                     replay_groups=replay_groups,
+                                     replay_skip_dead=replay_skip_dead)
 
     jj, ii = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.int32),

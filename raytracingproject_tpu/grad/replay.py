@@ -118,6 +118,7 @@ def replay_radiance(
     time: jnp.ndarray,
     res: PathResiduals,
     n_groups: int = 1,
+    skip_dead: bool | None = None,
 ) -> jnp.ndarray:
     """Differentiable replay of recorded paths: radiance [R, 3] as a
     function of `params`, with all discrete decisions frozen to `res`.
@@ -280,11 +281,19 @@ def replay_radiance(
             )
         return L
 
+    # skip_dead resolution (measured on hardware, FWDBWD_r04): the cond
+    # wrap costs ~2x at depth 8 (every bounce has live rays, so the
+    # predicate never skips and only the branch overhead remains) but wins
+    # big at depth 50 (whole-batch-dead tail bounces cost one skipped cond
+    # each: 7.2 vs ~1.3 Mrays/s at the 400px flagship point). Default: on
+    # for deep recordings, off for shallow; grouping implies on (skipping
+    # per slice is its whole point).
+    if skip_dead is None:
+        skip_dead = n_groups > 1 or res.idx.shape[0] > 16
+
     if n_groups <= 1:
-        # ungrouped: the plain unconditioned scan (identical graph to the
-        # round-3 baseline — the clean control for the grouped variant)
         return run_scan(origin, direction, time,
-                        res.idx, res.ndir, res.refl, use_cond=False)
+                        res.idx, res.ndir, res.refl, use_cond=skip_dead)
 
     R = origin.shape[0]
     # death depth per ray (idx != DEAD is a prefix property: death is
@@ -313,6 +322,7 @@ def replay_radiance(
             o_s[k * g : (k + 1) * g], d_s[k * g : (k + 1) * g],
             t_s[k * g : (k + 1) * g], idx_s[:, k * g : (k + 1) * g],
             nd_s[:, k * g : (k + 1) * g], rf_s[:, k * g : (k + 1) * g],
+            use_cond=skip_dead,
         )
         for k in range(n_groups)
     ]

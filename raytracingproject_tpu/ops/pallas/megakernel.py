@@ -326,7 +326,7 @@ def _pack_any_bits(slab, n: int, base=0):
 
 
 def _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref,
-                       live_ref, rays, t_min, n_front, shape):
+                       live_ref, rays, t_min, n_front, shape, repack=1):
     """Hierarchical front-culled closest hit: >= ONE scalar sync per
     bounce, at most one per 24 live subtrees — kernel code size O(1) in the
     front size.
@@ -421,36 +421,57 @@ def _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref,
             n_live_w = jax.lax.fori_loop(0, n_super, super_body, jnp.int32(0))
 
     # ---- stage 2: per live word ----
+    # `repack` splits each word's 24 subtrees into that many chunks and
+    # re-slab-tests every chunk against the CURRENT best-t (one extra
+    # ~460-cycle pack sync per extra chunk). With distance-ordered fronts
+    # (bvh_front order_point) the first chunk holds the nearest geometry,
+    # so by the second pack best-t has collapsed to ~the first surface and
+    # far subtrees cull — the lever that makes ordering pay even when the
+    # scene fits ONE word (the 488-sphere cover case has no second word to
+    # clamp). repack=1 reproduces the round-3 kernel exactly.
+    per = WORD // repack
+    assert per * repack == WORD, f"repack {repack} must divide {WORD}"
+
     def word_body(l, h):
         w = livew_ref[0, l]
-        slab_f = _slab_factory(ff_ref, rays, t_min, bt=h[0])
-        word = _pack_any_bits(slab_f, WORD, base=w * WORD)
 
-        def extract(k, c):
-            bit = jax.lax.shift_right_logical(word, k) & 1
+        def chunk_body(c, hh):
+            slab_f = _slab_factory(ff_ref, rays, t_min, bt=hh[0])
+            base = w * WORD + c * per
+            word = _pack_any_bits(slab_f, per, base=base)
 
-            @pl.when(bit > 0)
-            def _():
-                live_ref[0, c] = fi_ref[0, w * WORD + k]
-                live_ref[1, c] = fi_ref[1, w * WORD + k]
+            def extract(k, cc):
+                bit = jax.lax.shift_right_logical(word, k) & 1
 
-            return c + bit
+                @pl.when(bit > 0)
+                def _():
+                    live_ref[0, cc] = fi_ref[0, base + k]
+                    live_ref[1, cc] = fi_ref[1, base + k]
 
-        n_live = jax.lax.fori_loop(0, WORD, extract, jnp.int32(0))
+                return cc + bit
 
-        def live_body(l2, hh):
-            start = live_ref[0, l2]
-            cnt = live_ref[1, l2]
+            # wholly-culled chunk: skip the `per`-iteration extract loop
+            n_live = jax.lax.cond(
+                word != 0,
+                lambda: jax.lax.fori_loop(0, per, extract, jnp.int32(0)),
+                lambda: jnp.int32(0),
+            )
 
-            def inner(q, hhh):
-                base_s = start + q * UNROLL
-                for u in range(UNROLL):
-                    hhh = _sphere_test(sph_ref, base_s + u, rays, hhh, t_min)
-                return hhh
+            def live_body(l2, hhh):
+                start = live_ref[0, l2]
+                cnt = live_ref[1, l2]
 
-            return jax.lax.fori_loop(0, cnt // UNROLL, inner, hh)
+                def inner(q, h4):
+                    base_s = start + q * UNROLL
+                    for u in range(UNROLL):
+                        h4 = _sphere_test(sph_ref, base_s + u, rays, h4, t_min)
+                    return h4
 
-        return jax.lax.fori_loop(0, n_live, live_body, h)
+                return jax.lax.fori_loop(0, cnt // UNROLL, inner, hhh)
+
+            return jax.lax.fori_loop(0, n_live, live_body, hh)
+
+        return jax.lax.fori_loop(0, repack, chunk_body, h)
 
     return jax.lax.fori_loop(0, n_live_w, word_body, hc)
 
@@ -756,7 +777,7 @@ def _megakernel_front(
     sf_ref,    # SMEM (8, S) float32 super-word union boxes
     *rest,     # 7 ray planes, 3 (+6 miss) outs, then the 2 SMEM scratches
     n_front: int, max_depth: int, t_min: float, inject_bug=None,
-    record_miss: bool = False,
+    record_miss: bool = False, repack: int = 1,
 ):
     ray_refs = rest[:7]
     livew_ref, live_ref = rest[-2:]
@@ -765,7 +786,7 @@ def _megakernel_front(
     def hit(rays, shape):
         return _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref,
                                   livew_ref, live_ref, rays, t_min, n_front,
-                                  shape)
+                                  shape, repack=repack)
 
     _bounce_loop(seed_ref, hit, *ray_refs, rr_ref, rg_ref, rb_ref,
                  max_depth=max_depth, t_min=t_min, inject_bug=inject_bug,
@@ -778,7 +799,7 @@ class FrontTables:
 
     def __init__(self, sph: jnp.ndarray, ff: jnp.ndarray, fi: jnp.ndarray,
                  wf: jnp.ndarray, sf: jnp.ndarray,
-                 remap: jnp.ndarray | None = None):
+                 remap: jnp.ndarray | None = None, repack: int = 1):
         self.sph = sph  # (N_ROWS, Np) front-padded sphere table
         self.ff = ff    # (8, F) f32 subtree boxes
         self.fi = fi    # (2, F) i32 (start, count)
@@ -789,13 +810,17 @@ class FrontTables:
         # scene arrays — maps the kernel's winner index back to scene space
         # for the path-replay residuals.
         self.remap = remap
+        # static: intra-word best-t re-pack count (see _closest_hit_front);
+        # pytree AUX data, so it keys the jit cache like any static arg.
+        self.repack = repack
 
     def tree_flatten(self):
-        return (self.sph, self.ff, self.fi, self.wf, self.sf, self.remap), None
+        return (self.sph, self.ff, self.fi, self.wf, self.sf, self.remap), \
+            self.repack
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves)
+        return cls(*leaves, repack=aux or 1)
 
 
 jax.tree_util.register_pytree_node(
@@ -821,7 +846,7 @@ def default_front_nodes(n_spheres: int) -> int:
 
 
 def front_tables(scene: Scene, bvh, max_nodes: int | None = None,
-                 order_point=None) -> FrontTables:
+                 order_point=None, repack: int = 1) -> FrontTables:
     """Build the front-culling tables. `scene` MUST already be permuted to
     BVH leaf order (bvh.reorder_scene); `bvh` is its FlatBVH.
 
@@ -912,7 +937,7 @@ def front_tables(scene: Scene, bvh, max_nodes: int | None = None,
         )
     return FrontTables(
         jnp.asarray(sph_pad), jnp.asarray(ff), jnp.asarray(fi),
-        jnp.asarray(wf), jnp.asarray(sf), jnp.asarray(remap),
+        jnp.asarray(wf), jnp.asarray(sf), jnp.asarray(remap), repack=repack,
     )
 
 
@@ -937,11 +962,12 @@ class FrontRefresher:
     and params never need reordering."""
 
     def __init__(self, scene: Scene, bvh, max_nodes: int | None = None,
-                 order_point=None):
+                 order_point=None, repack: int = 1):
         import numpy as np
 
         from raytracingproject_tpu.bvh import bvh_front
 
+        self.repack = repack
         n = int(scene.radius.shape[0])
         if max_nodes is None:
             max_nodes = default_front_nodes(n)
@@ -1039,7 +1065,7 @@ class FrontRefresher:
                 sf[6:8, sw] = 0.0
         return FrontTables(
             jnp.asarray(sph_pad), jnp.asarray(ff), jnp.asarray(self.fi),
-            jnp.asarray(wf), jnp.asarray(sf), self.remap,
+            jnp.asarray(wf), jnp.asarray(sf), self.remap, repack=self.repack,
         )
 
 
@@ -1143,6 +1169,7 @@ def pallas_trace_paths(
         kernel = functools.partial(
             _megakernel_front, n_front=n_front, max_depth=max_depth,
             t_min=t_min, inject_bug=inject_bug, record_miss=record_miss,
+            repack=front.repack,
         )
         in_specs = [
             smem((1, 1)), smem(front.sph.shape),
@@ -1269,6 +1296,7 @@ def pallas_trace_record(
                 return _closest_hit_front(
                     sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref,
                     live_ref, rays, t_min, n_front, shape,
+                    repack=front.repack,
                 )
 
             _bounce_loop(seed_ref, hit, *ray_refs, rr, rg, rb,
@@ -1421,6 +1449,7 @@ def _megakernel_seg_brute(
 def _megakernel_seg_front(
     seed_ref, sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, *rest,
     n_front: int, max_depth: int, t_min: float, record_miss: bool = False,
+    repack: int = 1,
 ):
     (ray_refs, init_refs, miss_init_refs, state_out, (rr, rg, rb),
      miss_refs, scratch) = _seg_plumbing(rest, record_miss, 2)
@@ -1429,7 +1458,7 @@ def _megakernel_seg_front(
     def hit(rays, shape):
         return _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref,
                                   livew_ref, live_ref, rays, t_min, n_front,
-                                  shape)
+                                  shape, repack=repack)
 
     _bounce_loop(
         seed_ref, hit, *ray_refs, rr, rg, rb,
@@ -1458,6 +1487,7 @@ def _segment_call(planes, scene, seed, depth, t_min, front, interpret,
         kernel = functools.partial(
             _megakernel_seg_front, n_front=n_front, max_depth=depth,
             t_min=t_min, record_miss=record_miss,
+            repack=getattr(front, "repack", 1),
         )
         in_specs = [
             smem((1, 1)), smem(front.sph.shape),

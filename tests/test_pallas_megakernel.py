@@ -414,3 +414,36 @@ def test_geometry_train_step_dynamic_front_matches_brute():
     gp2, _, gloss2, _ = gstep(gp1, go, jax.random.fold_in(key, 1), target,
                               refresher.refresh(gp1))
     assert np.isfinite(float(gloss2))
+
+
+def test_front_repack_variants_match():
+    """Intra-word best-t re-packing (FrontTables.repack) is an evaluation-
+    order change only: culled chunks cannot contain a strictly closer hit,
+    so radiance must match repack=1 exactly (same strict `<` updates over
+    the same sphere set)."""
+    from raytracingproject_tpu.bvh import build_bvh, reorder_scene
+    from raytracingproject_tpu.ops.pallas.megakernel import front_tables
+    from raytracingproject_tpu.scene import make_random_scene
+
+    scene = make_random_scene(80, seed=13)
+    bvh = build_bvh(scene, leaf_size=4)
+    rscene = reorder_scene(scene, bvh)
+    cam = Camera(
+        aspect_ratio=16.0 / 9.0, image_width=48, samples_per_pixel=1,
+        max_depth=3, vfov=20.0, lookfrom=(13.0, 2.0, 3.0),
+        lookat=(0.0, 0.0, 0.0),
+    )
+    o, d, t = gen(cam, 2048, jax.random.PRNGKey(21))
+    base = None
+    for rp in (1, 2, 3):
+        front = front_tables(rscene, bvh, order_point=(13.0, 2.0, 3.0),
+                             repack=rp)
+        rad = np.asarray(
+            pallas_trace_paths(o, d, t, rscene, jnp.int32(5), 3,
+                               front=front, interpret=True)
+        )
+        if base is None:
+            base = rad
+        else:
+            np.testing.assert_allclose(rad, base, atol=1e-6,
+                                       err_msg=f"repack={rp}")

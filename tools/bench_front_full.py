@@ -72,14 +72,20 @@ def bench_scene(scene, tag: str, fronts=(None,), unordered_control=False) -> Non
         print(json.dumps({"scene": tag, "n": n, "path": "brute",
                           "error": str(e)[:120]}), flush=True)
 
-    variants = [(f, CAM_POS) for f in fronts]
+    variants = [(f, CAM_POS, 1) for f in fronts]
+    # intra-word best-t re-packing on the default front size (the lever
+    # that makes distance ordering pay inside a single 24-subtree word)
+    variants += [(fronts[0], CAM_POS, rp) for rp in (2, 3)]
     if unordered_control:
-        variants.append((fronts[0], None))
-    for f, op in variants:
+        variants.append((fronts[0], None, 1))
+    for f, op, rp in variants:
         fn = default_front_nodes(n) if f is None else f
         suffix = "" if op is not None else "_unordered"
+        if rp > 1:
+            suffix += f"_rp{rp}"
         try:
-            front = front_tables(rscene, bvh, max_nodes=fn, order_point=op)
+            front = front_tables(rscene, bvh, max_nodes=fn, order_point=op,
+                                 repack=rp)
             label = f"front_{fn}{suffix}"
         except ValueError:
             front = front_tables_hbm(rscene, bvh, max_nodes=fn, order_point=op)

@@ -96,11 +96,20 @@ def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
     _, res0 = pallas_trace_record(o0, d0, t0, scene, jnp.int32(123), depth)
     res0 = jax.tree.map(lambda x: x.block_until_ready(), res0)
 
-    def make_replay_bwd(groups):
+    import inspect
+
+    # tolerate an older in-process grad.replay without skip_dead (the
+    # round-4 device batch hot-imports this file into a process that
+    # already cached the module)
+    has_skip = "skip_dead" in inspect.signature(replay_radiance).parameters
+
+    def make_replay_bwd(groups, skip=None):
+        kw = {"skip_dead": skip} if has_skip else {}
+
         def p(key):
             def loss(p_):
                 rad = replay_radiance(p_, scene, o0, d0, t0, res0,
-                                      n_groups=groups)
+                                      n_groups=groups, **kw)
                 return jnp.mean(rad * jax.random.uniform(key, rad.shape))
 
             l, g = jax.value_and_grad(loss)(params)
@@ -108,8 +117,7 @@ def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
 
         return p
 
-    radiance_fn = make_fast_radiance(scene, depth,
-                                     replay_groups=GROUPS if depth > 16 else 1)
+    radiance_fn = make_fast_radiance(scene, depth)  # auto skip_dead
 
     def p_full(key):
         o, d, t = rays_of(key)
@@ -125,7 +133,8 @@ def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
     probes = [
         ("fwd", p_fwd), ("fwd_front", p_fwd_front),
         ("record", p_record), ("record_front", p_record_front),
-        ("replay_bwd", make_replay_bwd(1)),
+        ("replay_bwd", make_replay_bwd(1)),            # auto dead-skip
+        ("replay_bwd_noskip", make_replay_bwd(1, skip=False)),
         (f"replay_bwd_g{GROUPS}", make_replay_bwd(GROUPS)),
         ("full", p_full),
     ]

@@ -49,6 +49,9 @@ def main() -> None:
 
         artifact["kgrad_d8"] = kgrad.run(200, 2, 8)
         artifact["kgrad_d50"] = kgrad.run(400, 2, 50)
+        # flagship resolution: FWDBWD_r04 measured ~1.3 Mrays/s here vs 7.2
+        # at 400px — this split shows which side scales badly with R
+        artifact["kgrad_d50_flagship"] = kgrad.run(1200, 1, 50)
 
     if "kexp" not in skip:
         from tools import kexp
