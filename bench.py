@@ -81,7 +81,13 @@ def main() -> None:
 
         bvh = build_bvh(scene, leaf_size=8)
         scene = reorder_scene(scene, bvh)
-        front = front_tables(scene, bvh, order_point=camera.lookfrom)
+        import os
+
+        # BENCH_REPACK sweeps the intra-word re-pack knob without editing
+        # the file; unset -> the library default (megakernel.DEFAULT_REPACK)
+        rp = os.environ.get("BENCH_REPACK")
+        front = front_tables(scene, bvh, order_point=camera.lookfrom,
+                             repack=int(rp) if rp else None)
 
     def one_pass(key):
         # raw_slots: slot-space radiance, as render() accumulates per chunk

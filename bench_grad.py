@@ -91,8 +91,14 @@ def time_steps(step, params0, opt0, target, n_steps: int) -> tuple[float, float]
 
 
 def measure(step, params0, opt0, target, n1, n2, reps):
-    """(median marginal sec/step, loss, [marginals]) over `reps` pairs."""
-    time_steps(step, params0, opt0, target, n1)  # compile/warm
+    """(median marginal sec/step, final loss, first loss, [marginals]).
+
+    The first/final loss pair guards against a failure mode round 4 hit:
+    a DIVERGING optimization empties the scene (spheres fly away, every
+    path dies at bounce 1) and the "measured" step gets several times
+    faster than honest work — a diverged row must be flagged, never quoted
+    as throughput."""
+    _, first = time_steps(step, params0, opt0, target, n1)  # compile/warm
     time_steps(step, params0, opt0, target, n2)
     marginals = []
     loss = float("nan")
@@ -104,7 +110,7 @@ def measure(step, params0, opt0, target, n1, n2, reps):
         marginals.append((d2 - d1) / (n2 - n1))
     if not marginals:
         raise RuntimeError("all timing reps showed dt(N2) <= dt(N1)")
-    return statistics.median(marginals), loss, marginals
+    return statistics.median(marginals), loss, first, marginals
 
 
 def main() -> None:
@@ -130,6 +136,15 @@ def main() -> None:
         rays = width * height * spp
         target = render(scene, cam, jax.random.PRNGKey(0))
 
+        # depth-50 gradients occasionally spike through long dielectric
+        # chains (a materials row NaN'd in the first round-4 pass); global
+        # norm clipping is the standard stabilizer and changes nothing
+        # about the per-step cost being measured
+        import optax
+
+        opt = (optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-2))
+               if deep else None)
+
         paths = {}
         if not deep:
             # XLA reverse-mode at depth 50 materializes ~[R, N] residuals
@@ -144,7 +159,7 @@ def main() -> None:
             # at depth 8 where nothing skips, and wins ~5x at depth 50
             # where the whole-batch-dead tail dominates; FWDBWD_r04).
             fp, fo, fstep = make_fast_train_step(
-                scene, cam, spp=spp, trainable=TRAINABLE,
+                scene, cam, opt, spp=spp, trainable=TRAINABLE,
             )
             paths["fast"] = (fstep, fp, fo)
             if deep:
@@ -153,19 +168,19 @@ def main() -> None:
                 # alternative — it LOST at 400px (scan serialization) and
                 # only marginally won at 1200x675 in round 4
                 nsp, nso, nsstep = make_fast_train_step(
-                    scene, cam, spp=spp, trainable=TRAINABLE,
+                    scene, cam, opt, spp=spp, trainable=TRAINABLE,
                     replay_skip_dead=False,
                 )
                 paths["fast_noskip"] = (nsstep, nsp, nso)
                 g8p, g8o, g8step = make_fast_train_step(
-                    scene, cam, spp=spp, trainable=TRAINABLE,
+                    scene, cam, opt, spp=spp, trainable=TRAINABLE,
                     replay_groups=REPLAY_GROUPS,
                 )
                 paths["fast_g8"] = (g8step, g8p, g8o)
             # materials-only rows: brute vs front with the SAME trainable
             # set, so the path is the only difference between them
             bp, bo, bstep = make_fast_train_step(
-                scene, cam, spp=spp, trainable=MATERIALS,
+                scene, cam, opt, spp=spp, trainable=MATERIALS,
             )
             paths["fast_materials"] = (bstep, bp, bo)
             from raytracingproject_tpu.bvh import build_bvh, reorder_scene
@@ -174,7 +189,7 @@ def main() -> None:
             fbvh = build_bvh(scene, leaf_size=8)
             fscene = reorder_scene(scene, fbvh)
             mp, mo, mstep = make_fast_train_step(
-                fscene, cam, spp=spp, trainable=MATERIALS,
+                fscene, cam, opt, spp=spp, trainable=MATERIALS,
                 front=front_tables(fscene, fbvh,
                                    order_point=cam_kw["lookfrom"]),
             )
@@ -183,13 +198,16 @@ def main() -> None:
         results = {}
         entry: dict = {}
         for name, (step, params0, opt0) in paths.items():
-            sec, loss, marginals = measure(step, params0, opt0, target,
-                                           n1, n2, reps)
+            sec, loss, first, marginals = measure(step, params0, opt0,
+                                                  target, n1, n2, reps)
+            diverged = not (loss == loss) or loss > 3.0 * max(first, 1e-6)
             results[name] = rays / sec
             entry[name] = round(rays / sec, 1)
             entry[name + "_spread_mrays"] = [
                 round(rays / m / 1e6, 2) for m in sorted(marginals)
             ]
+            if diverged:
+                entry[name + "_diverged"] = True
             print(
                 json.dumps(
                     {
@@ -200,6 +218,8 @@ def main() -> None:
                         "reps": len(marginals),
                         "spread_mrays": entry[name + "_spread_mrays"],
                         "final_loss": loss,
+                        "first_loss": first,
+                        "diverged": diverged,
                     }
                 ),
                 flush=True,

@@ -52,6 +52,31 @@ MISS = -1
 DEAD = -2
 
 
+def _make_gather_rows(n: int):
+    """take-forward / one-hot-matmul-backward row gather (see
+    replay_radiance docstring). `n` is the table row count (static)."""
+    import numpy as np
+
+    @jax.custom_vjp
+    def gather(table, idx):  # [n, C], [R] int32 -> [R, C]
+        return jnp.take(table, idx, axis=0)
+
+    def fwd(table, idx):
+        return jnp.take(table, idx, axis=0), idx
+
+    def bwd(idx, g):
+        onehot = (
+            idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]
+        ).astype(g.dtype)
+        g_table = jnp.einsum(
+            "rn,rc->nc", onehot, g, preferred_element_type=g.dtype
+        )
+        return g_table, np.zeros(idx.shape, jax.dtypes.float0)
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
 class PathResiduals(NamedTuple):
     """Recorded path decisions; leading axis = bounce depth.
 
@@ -128,13 +153,17 @@ def replay_radiance(
     renderer (see module docstring). Cost per bounce: ONE sphere quadratic
     per ray.
 
-    Attribute lookup is a ONE-HOT MATMUL, not jnp.take: per-ray gathers
-    reverse-differentiate into scatter-adds, which XLA lowers to a
-    sort-based combiner on TPU — measured 93% of the fwd+bwd step time
-    (tools/kgrad.py, 43 of 45 ms). The one-hot formulation rides the MXU
-    both ways (gather = onehot @ table, its VJP = onehot^T @ cotangent)
-    and is exact: each one-hot row has a single 1.0, so the product-sum
-    reproduces the gathered float bit-for-bit.
+    Attribute lookup is a HYBRID gather: plain jnp.take in the forward
+    (exact, ~KBs of traffic) with a custom VJP that transposes as ONE-HOT
+    MATMUL (onehot^T @ cotangent on the MXU). Round-2 measured jnp.take's
+    default transpose (scatter-add -> sort-based combiner) at 93% of the
+    step (tools/kgrad.py); round 3 replaced BOTH directions with one-hot
+    matmuls; round 4 found the forward one-hot materializes [R, N] f32 in
+    HBM per bounce (~350 MB at the 400px flagship) — the take-forward /
+    matmul-backward split keeps the exact values and the fast transpose
+    while dropping the forward materialization. Exact: the one-hot rows
+    have a single 1.0, so the transpose product reproduces the gather's
+    adjoint bit-for-bit.
 
     DEAD-DEPTH SKIPPING: each scan step is predicated on "any ray in this
     batch still un-dead at this bounce" (a constant of `res`), so bounces
@@ -152,6 +181,7 @@ def replay_radiance(
     scene_p = apply_params(scene, params)
     sg = jax.lax.stop_gradient
     n_spheres = scene.radius.shape[0]
+    gather_rows = _make_gather_rows(n_spheres)
 
     # [N, 14] attribute table (differentiable leaves as columns).
     table = jnp.concatenate(
@@ -184,11 +214,7 @@ def replay_radiance(
         miss = idx == MISS
         i = jnp.maximum(idx, 0)
 
-        onehot = sg(
-            (i[:, None] == jnp.arange(n_spheres, dtype=jnp.int32)[None, :])
-            .astype(jnp.float32)
-        )
-        attrs = jnp.dot(onehot, table, preferred_element_type=jnp.float32)
+        attrs = gather_rows(table, i)
         c0 = attrs[:, 0:3]
         cd = attrs[:, 3:6]
         rad = attrs[:, 6]

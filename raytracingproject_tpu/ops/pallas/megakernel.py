@@ -836,6 +836,12 @@ jax.tree_util.register_pytree_node(
 SMEM_BUDGET_BYTES = 960 * 1024
 
 
+# Default intra-word re-pack count for front tables (see
+# _closest_hit_front): bench sweeps pick the winner per round; front_tables
+# callers inherit this unless they pass repack explicitly.
+DEFAULT_REPACK = 1
+
+
 def default_front_nodes(n_spheres: int) -> int:
     """Front size: ~26 spheres per subtree, in WORD multiples. The
     hierarchical kernel (words of 24 subtrees, super-words of 24 words) is
@@ -846,7 +852,7 @@ def default_front_nodes(n_spheres: int) -> int:
 
 
 def front_tables(scene: Scene, bvh, max_nodes: int | None = None,
-                 order_point=None, repack: int = 1) -> FrontTables:
+                 order_point=None, repack: int | None = None) -> FrontTables:
     """Build the front-culling tables. `scene` MUST already be permuted to
     BVH leaf order (bvh.reorder_scene); `bvh` is its FlatBVH.
 
@@ -862,6 +868,8 @@ def front_tables(scene: Scene, bvh, max_nodes: int | None = None,
 
     from raytracingproject_tpu.bvh import bvh_front
 
+    if repack is None:
+        repack = DEFAULT_REPACK
     if max_nodes is None:
         max_nodes = default_front_nodes(int(scene.radius.shape[0]))
     max_nodes = ((max_nodes + WORD - 1) // WORD) * WORD

@@ -130,6 +130,27 @@ def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
         return l + sum(jnp.sum(v) for v in jax.tree.leaves(g))
 
     out = {"n_rays": n_rays, "depth": depth, "width": width, "spp": spp}
+
+    # COMPILED-ON-HARDWARE gradient cross-check: the cond-skipping replay
+    # must produce the same gradients as the plain scan (CPU tests assert
+    # this; this re-asserts it through the TPU compiler, guarding against
+    # a cond/remat transpose miscompile being mistaken for speed)
+    if has_skip:
+        def gsum(skip):
+            def loss(p_):
+                rad = replay_radiance(p_, scene, o0, d0, t0, res0,
+                                      n_groups=1, skip_dead=skip)
+                return jnp.mean(rad)
+
+            return jax.grad(loss)(params)
+
+        ga, gb = gsum(True), gsum(False)
+        rel = max(
+            float(jnp.linalg.norm(x - y) / (jnp.linalg.norm(y) + 1e-12))
+            for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb))
+        )
+        out["skip_vs_noskip_grad_rel_err"] = round(rel, 8)
+        assert rel < 1e-3, f"skip/noskip gradients diverge on TPU: {rel}"
     probes = [
         ("fwd", p_fwd), ("fwd_front", p_fwd_front),
         ("record", p_record), ("record_front", p_record_front),
