@@ -691,18 +691,27 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
 
     carry = (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
              rad_r, rad_g, rad_b, alive) + miss0
-    if res_refs is not None:
-        # bounces skipped by the early exit keep the DEAD initialization
-        # (code = 2 * DEAD = -4)
-        res_refs[0][:] = jnp.full((max_depth, SUB, LANES), -4.0, jnp.float32)
-        for r in res_refs[1:]:
-            r[:] = jnp.zeros((max_depth, SUB, LANES), jnp.float32)
     # Rolled depth loop (keeps kernel code size O(1) in max_depth — an
     # unrolled python loop at depth 16+ blows Mosaic compile time); each
     # iteration early-exits via a scalar branch once the tile is dead.
+    # Residual planes: every depth's row is written exactly once — live
+    # bounces write real values inside bounce(), early-exited bounces write
+    # the DEAD row (code = 2 * DEAD = -4) in the skip branch. (An upfront
+    # whole-block fill materialized a [max_depth, 8, 128] constant per
+    # plane — 800 KB of VMEM stores per tile at depth 50, most immediately
+    # overwritten.)
     def depth_body(d, c):
+        def dead_fill(x):
+            if res_refs is not None:
+                res_refs[0][pl.ds(d, 1)] = jnp.full(
+                    (1, SUB, LANES), -4.0, jnp.float32
+                )
+                for r in res_refs[1:]:
+                    r[pl.ds(d, 1)] = jnp.zeros((1, SUB, LANES), jnp.float32)
+            return x
+
         return jax.lax.cond(
-            jnp.max(c[12]) > 0.5, lambda x: bounce(d, x), lambda x: x, c
+            jnp.max(c[12]) > 0.5, lambda x: bounce(d, x), dead_fill, c
         )
 
     carry = jax.lax.fori_loop(0, max_depth, depth_body, carry)
