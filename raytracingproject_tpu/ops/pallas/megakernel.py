@@ -1031,8 +1031,113 @@ class FrontRefresher:
                 "needs a smaller front or the brute recording forward"
             )
 
+    def refresh_in_jit(self, params) -> FrontTables:
+        """FrontTables for the CURRENT params, computed ON DEVICE with
+        jittable ops — call INSIDE the training step's jit. The fixed
+        partition becomes static gather/segment maps; the refresh is then
+        a handful of fused gathers and segment reductions (~microseconds),
+        with ZERO host round-trips. (The host `refresh()` costs 7+ tunnel
+        RTTs per step on this backend — measured 42-250 ms, dominating the
+        step; GEOM_r04 batch 1.)"""
+        import numpy as np
+
+        F = self.F
+        n_words = self.n_words
+        col = jnp.asarray(self.col_src_orig.astype(np.int32))
+        # subtree id per padded column (static): from the fixed fi layout
+        seg_np = np.zeros(self.col_src_orig.shape[0], np.int32)
+        for k in range(F):
+            s, c = int(self.fi[0, k]), int(self.fi[1, k])
+            if c:
+                seg_np[s : s + c] = k
+        seg = jnp.asarray(seg_np)
+        real = jnp.asarray(self.real)
+
+        table = jnp.concatenate(
+            [
+                params.center0.T, params.center_delta.T,
+                params.radius[None, :],
+                jnp.asarray(self.mat_type)[None, :],
+                params.albedo.T, params.fuzz[None, :], params.ior[None, :],
+            ],
+            axis=0,
+        ).astype(jnp.float32)
+        # rows here: 0:3 c0, 3:6 cd, 6 rad, 7 mat, 8:11 alb, 11 fuzz,
+        # 12 ior — matches _scene_table's layout; pad to N_ROWS
+        table = jnp.concatenate(
+            [table, jnp.zeros((N_ROWS - table.shape[0], table.shape[1]),
+                              jnp.float32)], axis=0
+        )
+        sph_pad = table[:, col]
+
+        c0c = sph_pad[0:3]
+        c1c = c0c + sph_pad[3:6]
+        rc = jnp.abs(sph_pad[6])
+        bmin = (jnp.minimum(c0c, c1c) - rc).T  # (Np, 3)
+        bmax = (jnp.maximum(c0c, c1c) + rc).T
+        fmin = jax.ops.segment_min(bmin, seg, num_segments=F,
+                                   indices_are_sorted=True)
+        fmax = jax.ops.segment_max(bmax, seg, num_segments=F,
+                                   indices_are_sorted=True)
+        fmin = jnp.where(real[:, None], fmin, 1e30)
+        fmax = jnp.where(real[:, None], fmax, 1e30)
+        ff = jnp.concatenate([fmin.T, fmax.T, jnp.zeros((2, F))], axis=0)
+
+        wid = jnp.asarray(np.arange(F, dtype=np.int32) // WORD)
+        # padding subtrees carry 1e30 mins (lose the min) and are masked to
+        # -1e30 for the max; all-padding words fall back to the degenerate
+        # 1e30 point
+        wmin = jax.ops.segment_min(fmin, wid, num_segments=n_words,
+                                   indices_are_sorted=True)
+        wmax = jax.ops.segment_max(
+            jnp.where(real[:, None], fmax, -1e30), wid,
+            num_segments=n_words, indices_are_sorted=True,
+        )
+        word_real = jax.ops.segment_max(
+            real.astype(jnp.int32), wid, num_segments=n_words,
+            indices_are_sorted=True,
+        ) > 0
+        wmin = jnp.where(word_real[:, None], wmin, 1e30)
+        wmax = jnp.where(word_real[:, None], wmax, 1e30)
+        pad_w = self.n_words_pad - n_words
+        if pad_w:
+            wmin = jnp.concatenate([wmin, jnp.full((pad_w, 3), 1e30)])
+            wmax = jnp.concatenate([wmax, jnp.full((pad_w, 3), 1e30)])
+            word_real = jnp.concatenate(
+                [word_real, jnp.zeros((pad_w,), bool)]
+            )
+        wf = jnp.concatenate(
+            [wmin.T, wmax.T, jnp.zeros((2, self.n_words_pad))], axis=0
+        )
+
+        n_super = max(self.n_super, 1)
+        sid = jnp.asarray(
+            np.arange(self.n_words_pad, dtype=np.int32) // WORD
+        )
+        smin = jax.ops.segment_min(wmin, sid, num_segments=n_super,
+                                   indices_are_sorted=True)
+        smax = jax.ops.segment_max(
+            jnp.where(word_real[:, None], wmax, -1e30), sid,
+            num_segments=n_super, indices_are_sorted=True,
+        )
+        s_real = jax.ops.segment_max(
+            word_real.astype(jnp.int32), sid, num_segments=n_super,
+            indices_are_sorted=True,
+        ) > 0
+        smin = jnp.where(s_real[:, None], smin, 1e30)
+        smax = jnp.where(s_real[:, None], smax, 1e30)
+        sf = jnp.concatenate([smin.T, smax.T, jnp.zeros((2, n_super))], axis=0)
+
+        return FrontTables(
+            sph_pad, ff.astype(jnp.float32), jnp.asarray(self.fi),
+            wf.astype(jnp.float32), sf.astype(jnp.float32), self.remap,
+            repack=self.repack,
+        )
+
     def refresh(self, params) -> FrontTables:
-        """FrontTables for the CURRENT params (host numpy, ~O(N))."""
+        """FrontTables for the CURRENT params (host numpy, ~O(N)).
+        Prefer refresh_in_jit on tunneled backends — this version pays
+        host round-trips per call."""
         import numpy as np
 
         p = jax.device_get(params)

@@ -447,3 +447,65 @@ def test_front_repack_variants_match():
         else:
             np.testing.assert_allclose(rad, base, atol=1e-6,
                                        err_msg=f"repack={rp}")
+
+
+def test_refresh_in_jit_matches_host_refresh():
+    """The on-device (jittable) table refresh must reproduce the host
+    refresh exactly: same padded sphere table, same subtree/word/super
+    union boxes, same layout tables."""
+    from raytracingproject_tpu.bvh import build_bvh
+    from raytracingproject_tpu.grad.inverse import extract_params
+    from raytracingproject_tpu.ops.pallas.megakernel import FrontRefresher
+    from raytracingproject_tpu.scene import make_random_scene
+
+    scene = make_random_scene(70, seed=17)
+    bvh = build_bvh(scene, leaf_size=4)
+    refresher = FrontRefresher(scene, bvh, order_point=(13.0, 2.0, 3.0))
+    params = extract_params(scene)
+    moved = params._replace(
+        center0=params.center0.at[5].add(jnp.asarray([0.4, 0.2, -0.3])),
+        radius=params.radius.at[11].multiply(1.3),
+    )
+    host = refresher.refresh(moved)
+    dev = jax.jit(refresher.refresh_in_jit)(moved)
+    for name in ("sph", "ff", "fi", "wf", "sf", "remap"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(dev, name)), np.asarray(getattr(host, name)),
+            atol=1e-5, err_msg=name,
+        )
+
+
+def test_geometry_train_step_in_jit_refresh_matches_explicit():
+    """make_fast_geometry_train_step(refresher=...) (in-jit refresh, no
+    front argument) must match the explicit-front step exactly."""
+    from raytracingproject_tpu.bvh import build_bvh
+    from raytracingproject_tpu.grad.fast import make_fast_geometry_train_step
+    from raytracingproject_tpu.ops.pallas.megakernel import FrontRefresher
+    from raytracingproject_tpu.scene import make_random_scene
+
+    scene = make_random_scene(30, seed=11)
+    cam = Camera(
+        aspect_ratio=1.0, image_width=32, samples_per_pixel=1, max_depth=3,
+        vfov=20.0, lookfrom=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0),
+    )
+    target = jnp.zeros((32, 32, 3))
+    trainable = ("center0", "radius", "albedo")
+    bvh = build_bvh(scene, leaf_size=4)
+    refresher = FrontRefresher(scene, bvh, order_point=(13.0, 2.0, 3.0))
+
+    ep, eo, estep = make_fast_geometry_train_step(
+        scene, cam, spp=1, trainable=trainable, interpret=True,
+    )
+    ap, ao, astep = make_fast_geometry_train_step(
+        scene, cam, refresher=refresher, spp=1, trainable=trainable,
+        interpret=True,
+    )
+    key = jax.random.PRNGKey(6)
+    ep1, _, eloss, eg = estep(ep, eo, key, target, refresher.refresh(ep))
+    ap1, _, aloss, ag = astep(ap, ao, key, target)
+    np.testing.assert_allclose(float(aloss), float(eloss), rtol=1e-6)
+    for f in eg._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ag, f)), np.asarray(getattr(eg, f)),
+            atol=1e-6, err_msg=f,
+        )

@@ -65,7 +65,8 @@ def run_config(label, width, spp, depth, n1, n2, groups, artifact):
         scene, cam, spp=spp, trainable=TRAINABLE, replay_groups=groups,
     )
     gp, go, gstep = make_fast_geometry_train_step(
-        scene, cam, spp=spp, trainable=TRAINABLE, replay_groups=groups,
+        scene, cam, refresher=refresher, spp=spp, trainable=TRAINABLE,
+        replay_groups=groups,
     )
 
     def time_brute(n):
@@ -79,18 +80,17 @@ def run_config(label, width, spp, depth, n1, n2, groups, artifact):
         float(loss)
         return time.perf_counter() - t0
 
-    refresh_times = []
-
     def time_front(n):
+        # in-jit refresh: the tables are recomputed ON DEVICE inside the
+        # step (FrontRefresher.refresh_in_jit) — the host-refresh variant
+        # measured 42-250 ms of tunnel RTTs per step (GEOM_r04 batch 1)
+        # and is retired from the bench
         key = jax.random.PRNGKey(fresh_salt())
         params, opt = gp, go
         t0 = time.perf_counter()
         for i in range(n):
-            r0 = time.perf_counter()
-            front = refresher.refresh(params)
-            refresh_times.append(time.perf_counter() - r0)
             params, opt, loss, _ = gstep(
-                params, opt, jax.random.fold_in(key, i), target, front
+                params, opt, jax.random.fold_in(key, i), target
             )
         float(loss)
         return time.perf_counter() - t0
@@ -112,10 +112,7 @@ def run_config(label, width, spp, depth, n1, n2, groups, artifact):
             round(rays / m / 1e6, 2) for m in sorted(marginals)
         ]
         print(json.dumps({"config": label, **entry}), flush=True)
-    if refresh_times:
-        entry["refresh_ms_median"] = round(
-            1e3 * statistics.median(refresh_times), 2
-        )
+    entry["refresh"] = "in-jit (device-side segment reductions)"
     entry["front_over_brute"] = round(
         entry["front_refresh_mrays_s"] / entry["brute_mrays_s"], 3
     )
