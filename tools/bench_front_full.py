@@ -69,8 +69,12 @@ def bench_scene(scene, tag: str, fronts=(None,), unordered_control=False) -> Non
                      "mrays_per_s": round(brute / 1e6, 2)})
         print(json.dumps(ROWS[-1]), flush=True)
     except Exception as e:  # >16k spheres: brute's SMEM table cannot exist
-        print(json.dumps({"scene": tag, "n": n, "path": "brute",
-                          "error": str(e)[:120]}), flush=True)
+        import re as _re
+
+        msg = _re.sub(r"\x1b\[[0-9;]*m", "", str(e)).split("\n")[0][:120]
+        row = {"scene": tag, "n": n, "path": "brute", "error": msg}
+        ROWS.append(row)
+        print(json.dumps(row), flush=True)
 
     variants = [(f, CAM_POS, 1) for f in fronts]
     # intra-word best-t re-packing on the default front size (the lever

@@ -98,17 +98,25 @@ def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
 
     import inspect
 
+    from raytracingproject_tpu.grad.replay import PathResiduals
+
     # tolerate an older in-process grad.replay without skip_dead (the
     # round-4 device batch hot-imports this file into a process that
     # already cached the module)
     has_skip = "skip_dead" in inspect.signature(replay_radiance).parameters
+    # residuals/rays ride as jit OPERANDS, never closures: closed-over
+    # device arrays are baked into the program as constants, and the
+    # flagship residuals (650 MB) blew the remote compiler's request limit
+    replay_ops = (res0.idx, res0.ndir, res0.refl, o0, d0, t0)
 
     def make_replay_bwd(groups, skip=None):
         kw = {"skip_dead": skip} if has_skip else {}
 
-        def p(key):
+        def p(key, ri, rn, rr, o_, d_, t_):
+            res = PathResiduals(idx=ri, ndir=rn, refl=rr)
+
             def loss(p_):
-                rad = replay_radiance(p_, scene, o0, d0, t0, res0,
+                rad = replay_radiance(p_, scene, o_, d_, t_, res,
                                       n_groups=groups, **kw)
                 return jnp.mean(rad * jax.random.uniform(key, rad.shape))
 
@@ -137,12 +145,13 @@ def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
     # a cond/remat transpose miscompile being mistaken for speed)
     if has_skip:
         def gsum(skip):
-            def loss(p_):
-                rad = replay_radiance(p_, scene, o0, d0, t0, res0,
+            def loss(p_, ri, rn, rr, o_, d_, t_):
+                res = PathResiduals(idx=ri, ndir=rn, refl=rr)
+                rad = replay_radiance(p_, scene, o_, d_, t_, res,
                                       n_groups=1, skip_dead=skip)
                 return jnp.mean(rad)
 
-            return jax.grad(loss)(params)
+            return jax.jit(jax.grad(loss))(params, *replay_ops)
 
         ga, gb = gsum(True), gsum(False)
         rel = max(
@@ -152,15 +161,15 @@ def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
         out["skip_vs_noskip_grad_rel_err"] = round(rel, 8)
         assert rel < 1e-3, f"skip/noskip gradients diverge on TPU: {rel}"
     probes = [
-        ("fwd", p_fwd), ("fwd_front", p_fwd_front),
-        ("record", p_record), ("record_front", p_record_front),
-        ("replay_bwd", make_replay_bwd(1)),            # auto dead-skip
-        ("replay_bwd_noskip", make_replay_bwd(1, skip=False)),
-        (f"replay_bwd_g{GROUPS}", make_replay_bwd(GROUPS)),
-        ("full", p_full),
+        ("fwd", p_fwd, ()), ("fwd_front", p_fwd_front, ()),
+        ("record", p_record, ()), ("record_front", p_record_front, ()),
+        ("replay_bwd", make_replay_bwd(1), replay_ops),  # auto dead-skip
+        ("replay_bwd_noskip", make_replay_bwd(1, skip=False), replay_ops),
+        (f"replay_bwd_g{GROUPS}", make_replay_bwd(GROUPS), replay_ops),
+        ("full", p_full, ()),
     ]
-    for name, fn in probes:
-        sec, _ = marginal_seconds_per_pass(fn)
+    for name, fn, ops in probes:
+        sec, _ = marginal_seconds_per_pass(fn, operands=ops)
         out[name + "_mrays_s"] = round(n_rays / sec / 1e6, 3)
         out[name + "_ms"] = round(sec * 1e3, 2)
         print(json.dumps(out), flush=True)

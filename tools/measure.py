@@ -32,15 +32,18 @@ def fresh_salt() -> int:
     return int.from_bytes(os.urandom(4), "little") % (2**30)
 
 
-def make_scan_loop(pass_fn: Callable[[jax.Array], jnp.ndarray]):
+def make_scan_loop(pass_fn: Callable[..., jnp.ndarray]):
     """Jit a loop running `pass_fn` `passes` times with per-pass folded keys,
-    reduced to one scalar (the host-fetch barrier)."""
+    reduced to one scalar (the host-fetch barrier). Extra `operands` are
+    passed through as jit ARGUMENTS — large arrays a pass closes over would
+    otherwise be baked into the program as constants (a 650 MB residual
+    closure exceeded the remote compiler's request size limit in round 4)."""
 
     @functools.partial(jax.jit, static_argnames=("passes",))
-    def loop(key: jax.Array, passes: int) -> jnp.ndarray:
+    def loop(key: jax.Array, passes: int, *ops) -> jnp.ndarray:
         def body(acc, p):
             k = jax.random.fold_in(key, p)
-            return acc + pass_fn(k).sum(), None
+            return acc + pass_fn(k, *ops).sum(), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(passes))
         return acc
@@ -55,6 +58,7 @@ def marginal_seconds_per_pass(
     k2: int = 12,
     reps: int = 3,
     return_all: bool = False,
+    operands: tuple = (),
 ):
     """(median marginal seconds/pass, checksum of last run) — or, with
     `return_all`, (median, checksum, sorted marginals list) so callers can
@@ -67,18 +71,18 @@ def marginal_seconds_per_pass(
 
     # compile both shapes (untimed)
     warm_key = jax.random.PRNGKey(fresh_salt())
-    float(loop(warm_key, k1))
-    float(loop(warm_key, k2))
+    float(loop(warm_key, k1, *operands))
+    float(loop(warm_key, k2, *operands))
 
     marginals = []
     checksum = 0.0
     for _ in range(reps):
         key = jax.random.PRNGKey(fresh_salt())
         t0 = time.perf_counter()
-        float(loop(key, k1))
+        float(loop(key, k1, *operands))
         d1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        checksum = float(loop(key, k2))
+        checksum = float(loop(key, k2, *operands))
         d2 = time.perf_counter() - t0
         if d2 <= d1:
             # congestion artifact on the shared chip; rep is unusable
