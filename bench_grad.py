@@ -17,9 +17,9 @@ Paths:
 
 Depth-50 rows close round-3 VERDICT missing #1 (the flagship operating
 point, src/main.cpp:57-60, is 1200x675 @ depth 50): `fast` runs the
-production replay (dead-bounce cond-skipping, auto-on at deep depth);
-`fast_noskip` and `fast_g8` are the measured controls for the skip and for
-death-depth-sorted grouping respectively.
+production replay (plain scan + take-forward/one-hot-backward gather);
+`fast_skip` and `fast_g8` are the measured-and-rejected alternatives
+(cond dead-skipping, death-depth-sorted grouping) kept regression-visible.
 
 Methodology: N sequential steps form a true dependency chain closed by a
 host fetch of the final loss; the marginal cost between two step counts
@@ -154,24 +154,23 @@ def main() -> None:
             paths["xla"] = (step, extract_params(scene), opt_state)
         if on_tpu:
             # "fast" = the production config: plain ungrouped replay with
-            # dead-bounce cond-skipping at deep depth only (replay_radiance
-            # auto default — measured on hardware: the cond wrap costs ~2x
-            # at depth 8 where nothing skips, and wins ~5x at depth 50
-            # where the whole-batch-dead tail dominates; FWDBWD_r04).
+            # the take-forward / one-hot-backward gather (skip_dead and
+            # grouping measured SLOWER on hardware and default off —
+            # replay_radiance docstring has the numbers).
             fp, fo, fstep = make_fast_train_step(
                 scene, cam, opt, spp=spp, trainable=TRAINABLE,
             )
             paths["fast"] = (fstep, fp, fo)
             if deep:
-                # controls: no-skip isolates the cond-skip win; grouped
-                # (death-depth-sorted slices) is the measured-and-retained
-                # alternative — it LOST at 400px (scan serialization) and
-                # only marginally won at 1200x675 in round 4
+                # controls: the cond-predicated dead-skip and the
+                # death-depth-sorted grouped replay — both measured slower
+                # than the plain scan once the hybrid gather landed; the
+                # rows keep that decision regression-visible
                 nsp, nso, nsstep = make_fast_train_step(
                     scene, cam, opt, spp=spp, trainable=TRAINABLE,
-                    replay_skip_dead=False,
+                    replay_skip_dead=True,
                 )
-                paths["fast_noskip"] = (nsstep, nsp, nso)
+                paths["fast_skip"] = (nsstep, nsp, nso)
                 g8p, g8o, g8step = make_fast_train_step(
                     scene, cam, opt, spp=spp, trainable=TRAINABLE,
                     replay_groups=REPLAY_GROUPS,
@@ -231,9 +230,9 @@ def main() -> None:
                 "value": entry["fast_over_xla"],
                 "unit": "x",
             }), flush=True)
-        if "fast" in results and "fast_noskip" in results:
-            entry["skip_over_noskip"] = round(
-                results["fast"] / results["fast_noskip"], 3
+        if "fast" in results and "fast_skip" in results:
+            entry["fast_over_skip"] = round(
+                results["fast"] / results["fast_skip"], 3
             )
         artifact["configs"][label] = entry
 

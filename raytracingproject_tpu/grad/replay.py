@@ -307,15 +307,17 @@ def replay_radiance(
             )
         return L
 
-    # skip_dead resolution (measured on hardware, FWDBWD_r04): the cond
-    # wrap costs ~2x at depth 8 (every bounce has live rays, so the
-    # predicate never skips and only the branch overhead remains) but wins
-    # big at depth 50 (whole-batch-dead tail bounces cost one skipped cond
-    # each: 7.2 vs ~1.3 Mrays/s at the 400px flagship point). Default: on
-    # for deep recordings, off for shallow; grouping implies on (skipping
-    # per slice is its whole point).
+    # skip_dead default: OFF. Measured on hardware (FWDBWD_r04, batch 2):
+    # with the take-forward/matmul-backward gather, the plain scan runs the
+    # 400px depth-50 step in 135 ms while the cond-predicated scan takes
+    # 861 ms — XLA/Mosaic handle the gather + its custom transpose far
+    # worse inside cond branches than straight-line, swamping anything the
+    # skipped dead bounces save. The machinery stays (exactness is tested;
+    # bench_grad's fast_skip/fast_g8 rows keep the numbers honest per
+    # round) but only explicit opt-in enables it. Grouping still defaults
+    # its slices to cond (skipping per slice is its whole point).
     if skip_dead is None:
-        skip_dead = n_groups > 1 or res.idx.shape[0] > 16
+        skip_dead = n_groups > 1
 
     if n_groups <= 1:
         return run_scan(origin, direction, time,

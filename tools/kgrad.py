@@ -163,8 +163,8 @@ def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
     probes = [
         ("fwd", p_fwd, ()), ("fwd_front", p_fwd_front, ()),
         ("record", p_record, ()), ("record_front", p_record_front, ()),
-        ("replay_bwd", make_replay_bwd(1), replay_ops),  # auto dead-skip
-        ("replay_bwd_noskip", make_replay_bwd(1, skip=False), replay_ops),
+        ("replay_bwd", make_replay_bwd(1), replay_ops),  # plain (default)
+        ("replay_bwd_skip", make_replay_bwd(1, skip=True), replay_ops),
         (f"replay_bwd_g{GROUPS}", make_replay_bwd(GROUPS), replay_ops),
         ("full", p_full, ()),
     ]
