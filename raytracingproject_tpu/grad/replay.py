@@ -52,24 +52,38 @@ MISS = -1
 DEAD = -2
 
 
-def _make_gather_rows(n: int):
-    """take-forward / one-hot-matmul-backward row gather (see
-    replay_radiance docstring). `n` is the table row count (static)."""
+def _make_gather_rows(n: int, onehot_fwd: bool = False):
+    """Row gather with a one-hot-matmul backward (see replay_radiance
+    docstring). `n` is the table row count (static).
+
+    Forward: jnp.take behind an optimization_barrier — without the barrier
+    XLA hoists the loop-"invariant" gather out of the replay scan and
+    materializes EVERY bounce's padded attribute rows at once
+    ([D, R, C->128 lanes] — 20.7 GB at the 1200x675 depth-50 flagship, a
+    compile-time OOM). `onehot_fwd=True` keeps the round-3 one-hot matmul
+    forward instead (never hoistable, [R, n] working set per step) as the
+    fallback for sizes where even a hoist-blocked gather is risky."""
     import numpy as np
+
+    def _onehot(idx, dtype):
+        return (
+            idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]
+        ).astype(dtype)
 
     @jax.custom_vjp
     def gather(table, idx):  # [n, C], [R] int32 -> [R, C]
-        return jnp.take(table, idx, axis=0)
+        if onehot_fwd:
+            return jnp.dot(_onehot(idx, table.dtype), table,
+                           preferred_element_type=table.dtype)
+        return jnp.take(jax.lax.optimization_barrier(table), idx, axis=0)
 
     def fwd(table, idx):
-        return jnp.take(table, idx, axis=0), idx
+        return gather(table, idx), idx
 
     def bwd(idx, g):
-        onehot = (
-            idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]
-        ).astype(g.dtype)
         g_table = jnp.einsum(
-            "rn,rc->nc", onehot, g, preferred_element_type=g.dtype
+            "rn,rc->nc", _onehot(idx, g.dtype), g,
+            preferred_element_type=g.dtype,
         )
         return g_table, np.zeros(idx.shape, jax.dtypes.float0)
 
@@ -181,7 +195,13 @@ def replay_radiance(
     scene_p = apply_params(scene, params)
     sg = jax.lax.stop_gradient
     n_spheres = scene.radius.shape[0]
-    gather_rows = _make_gather_rows(n_spheres)
+    # belt-and-braces vs the gather hoist (see _make_gather_rows): if a
+    # hoisted [D, R, 128] buffer would exceed ~4 GB despite the barrier,
+    # fall back to the one-hot forward whose working set is per-step
+    hoisted_bytes = res.idx.shape[0] * origin.shape[0] * 128 * 4
+    gather_rows = _make_gather_rows(
+        n_spheres, onehot_fwd=hoisted_bytes > 4 * 1024**3
+    )
 
     # [N, 14] attribute table (differentiable leaves as columns).
     table = jnp.concatenate(
