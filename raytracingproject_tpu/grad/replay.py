@@ -196,11 +196,11 @@ def replay_radiance(
     sg = jax.lax.stop_gradient
     n_spheres = scene.radius.shape[0]
     # belt-and-braces vs the gather hoist (see _make_gather_rows): if a
-    # hoisted [D, R, 128] buffer would exceed ~4 GB despite the barrier,
+    # hoisted [D, R, 128] buffer would exceed ~6 GB despite the barrier,
     # fall back to the one-hot forward whose working set is per-step
     hoisted_bytes = res.idx.shape[0] * origin.shape[0] * 128 * 4
     gather_rows = _make_gather_rows(
-        n_spheres, onehot_fwd=hoisted_bytes > 4 * 1024**3
+        n_spheres, onehot_fwd=hoisted_bytes > 6 * 1024**3
     )
 
     # [N, 14] attribute table (differentiable leaves as columns).

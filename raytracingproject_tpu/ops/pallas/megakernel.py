@@ -847,8 +847,10 @@ SMEM_BUDGET_BYTES = 960 * 1024
 
 # Default intra-word re-pack count for front tables (see
 # _closest_hit_front): bench sweeps pick the winner per round; front_tables
-# callers inherit this unless they pass repack explicitly.
-DEFAULT_REPACK = 1
+# callers inherit this unless they pass repack explicitly. Round-4 sweep
+# (BENCH repack 1/2/3 = 13.57/13.83/13.68 Mrays/s headline; FRONT_r04
+# cover rows agree): 2 wins.
+DEFAULT_REPACK = 2
 
 
 def default_front_nodes(n_spheres: int) -> int:
