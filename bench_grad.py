@@ -134,7 +134,15 @@ def main() -> None:
         )
         height = cam.image_height
         rays = width * height * spp
-        target = render(scene, cam, jax.random.PRNGKey(0))
+        # target at >=16 spp regardless of the training spp: a 1-spp MC
+        # target is noisy enough that depth-50 geometry rows diverged even
+        # under clipping (round-4 batch 3); a cleaner target changes
+        # nothing about the per-step cost being measured
+        target_cam = Camera(
+            aspect_ratio=16.0 / 9.0, image_width=width,
+            samples_per_pixel=max(spp, 16), max_depth=depth, **cam_kw,
+        )
+        target = render(scene, target_cam, jax.random.PRNGKey(0))
 
         # depth-50 gradients occasionally spike through long dielectric
         # chains (a materials row NaN'd in the first round-4 pass); global

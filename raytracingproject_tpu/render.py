@@ -405,8 +405,12 @@ def render(
             # ahead of distance order (FRONT_r04: 0.83 vs 0.77 Mrays/s at
             # 50k spheres).
             op = tuple(float(x) for x in camera.lookfrom)
+            # intra-word re-packing pays on shallow/coherent bounce loops
+            # (headline d16: 13.83 vs 13.57 Mrays/s) and costs at deep
+            # incoherent ones (CONFIG3 d50: 8.18 vs 8.47) — pick per depth
+            rp = 2 if camera.max_depth <= 24 else 1
             try:
-                front = front_tables(scene, bvh, order_point=op)
+                front = front_tables(scene, bvh, order_point=op, repack=rp)
             except ValueError:
                 front = front_tables_hbm(scene, bvh)
             bvh = None
