@@ -144,21 +144,21 @@ def main() -> None:
         )
         target = render(scene, target_cam, jax.random.PRNGKey(0))
 
-        # depth-50 gradients occasionally spike through long dielectric
-        # chains (a materials row NaN'd in the first round-4 pass); global
-        # norm clipping is the standard stabilizer and changes nothing
-        # about the per-step cost being measured
+        # Gradient clipping for EVERY row (round-4 batch 4: even depth-8
+        # three-sphere geometry rows diverged — and a diverging run empties
+        # the scene and INFLATES the fast path's measured rays/s, so
+        # un-clipped numbers overstate the culling-dependent paths).
+        # Clipping changes nothing about the per-step cost being measured.
         import optax
 
-        opt = (optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-2))
-               if deep else None)
+        opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-2))
 
         paths = {}
         if not deep:
             # XLA reverse-mode at depth 50 materializes ~[R, N] residuals
             # per bounce x 50 — past HBM at these sizes; d8 rows only.
-            opt_state, step = make_train_step(scene, cam, spp=spp,
-                                              trainable=TRAINABLE)
+            opt_state, step = make_train_step(scene, cam, opt, spp=spp,
+                                               trainable=TRAINABLE)
             paths["xla"] = (step, extract_params(scene), opt_state)
         if on_tpu:
             # "fast" = the production config: plain ungrouped replay with

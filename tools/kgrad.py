@@ -174,7 +174,13 @@ def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
         # chain instead (same work, one dispatch per step)
         probes.append(("full", p_full, ()))
     for name, fn, ops in probes:
-        sec, _ = marginal_seconds_per_pass(fn, operands=ops)
+        try:
+            sec, _ = marginal_seconds_per_pass(fn, operands=ops)
+        except Exception as e:  # one OOM/compile failure != no artifact
+            out[name + "_error"] = str(e).split("\n")[0][:140]
+            print(json.dumps({name: "FAILED",
+                              "error": out[name + "_error"]}), flush=True)
+            continue
         out[name + "_mrays_s"] = round(n_rays / sec / 1e6, 3)
         out[name + "_ms"] = round(sec * 1e3, 2)
         print(json.dumps(out), flush=True)

@@ -45,13 +45,18 @@ def main() -> None:
     artifact: dict = {}
 
     if "kgrad" not in skip:
+        import traceback
+
         from tools import kgrad
 
-        artifact["kgrad_d8"] = kgrad.run(200, 2, 8)
-        artifact["kgrad_d50"] = kgrad.run(400, 2, 50)
-        # flagship resolution: FWDBWD_r04 measured ~1.3 Mrays/s here vs 7.2
-        # at 400px — this split shows which side scales badly with R
-        artifact["kgrad_d50_flagship"] = kgrad.run(1200, 1, 50)
+        for key, args in (("kgrad_d8", (200, 2, 8)),
+                          ("kgrad_d50", (400, 2, 50)),
+                          ("kgrad_d50_flagship", (1200, 1, 50))):
+            try:
+                artifact[key] = kgrad.run(*args)
+            except Exception:
+                traceback.print_exc()
+                artifact[key] = {"error": "run failed; see device log"}
 
     if "kexp" not in skip:
         from tools import kexp

@@ -152,9 +152,17 @@ def main() -> None:
         seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
         return pallas_trace_paths(o, d, t, scene, seed, 1)
 
-    sec, _ = marginal_seconds_per_pass(fwd_depth1, k1=4, k2=12, reps=3)
+    sec, _ = marginal_seconds_per_pass(fwd_depth1, k1=4, k2=12, reps=5)
     rps = rays / sec
     ops = rps * (n * OPS_PER_SPHERE_TEST + OPS_PER_BOUNCE_SHADE)
+    if ops > 2.2 * peak:
+        # an fma occupies >= half the VPU's ALUs, so > ~2.2x the measured
+        # FMA rate exceeds any plausible co-issue — a timing artifact on
+        # the shared chip (batch 4 recorded 3.2x once); flag, don't quote
+        out["implausible_closest_hit"] = (
+            f"{ops:.3g} ops/s > 2.2x FMA peak; treat this run's "
+            "closest-hit ratios as a timing artifact"
+        )
     out["closest_hit_mrays_s"] = round(rps / 1e6, 2)
     out["closest_hit_ops_per_sec"] = round(ops, -9)
     out["closest_hit_vs_fma_peak"] = round(ops / peak, 4)
