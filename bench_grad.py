@@ -250,6 +250,15 @@ def main() -> None:
     from tools.artifact import artifact_path
 
     out = os.environ.get("FWDBWD_ARTIFACT", artifact_path("FWDBWD"))
+    if only and os.path.exists(out):
+        # a filtered rerun (FWDBWD_ONLY) updates its configs in place
+        # instead of dropping the others from the round's artifact
+        with open(out) as f:
+            prev = json.load(f)
+        prev.get("configs", {}).update(artifact["configs"])
+        artifact = {**prev, **{k: v for k, v in artifact.items()
+                               if k != "configs"},
+                    "configs": prev["configs"]}
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({"artifact": out}), flush=True)

@@ -195,12 +195,15 @@ def replay_radiance(
     scene_p = apply_params(scene, params)
     sg = jax.lax.stop_gradient
     n_spheres = scene.radius.shape[0]
-    # belt-and-braces vs the gather hoist (see _make_gather_rows): if a
-    # hoisted [D, R, 128] buffer would exceed ~6 GB despite the barrier,
-    # fall back to the one-hot forward whose working set is per-step
-    hoisted_bytes = res.idx.shape[0] * origin.shape[0] * 128 * 4
+    # Gather-mode choice, measured end-to-end on hardware (FWDBWD_r04):
+    # the take forward wins ~2x at depth 8 (cover 4.95 -> 8.03 Mrays/s),
+    # but at depth 50 the one-hot forward's per-step working set beats the
+    # (barrier-guarded) take in the full-step context by ~3x per ray
+    # (1200x675 one-hot: 0.27 us/ray vs 400px take: 0.75) AND avoids the
+    # hoisted-[D, R, 128] OOM hazard entirely. Rule: take for shallow
+    # recordings, one-hot for deep.
     gather_rows = _make_gather_rows(
-        n_spheres, onehot_fwd=hoisted_bytes > 6 * 1024**3
+        n_spheres, onehot_fwd=res.idx.shape[0] > 16
     )
 
     # [N, 14] attribute table (differentiable leaves as columns).
