@@ -1,15 +1,19 @@
-"""Round-4 device batch: every real-chip measurement in ONE session.
+"""One-client device batch runner: every real-chip harness as a phase.
 
 The tunneled TPU charges ~10 min acquisition per NEW client and allows one
-client at a time, so the round's entire device agenda runs here
-sequentially: the TPU test lane first (as a subprocess, BEFORE this parent
-process initializes the backend — two clients total for the whole round),
-then every benchmark/artifact phase in-process. Each phase is isolated in
-try/except so one failure doesn't void the rest; artifacts are written by
-the phases themselves (RTP_ROUND pins the round number).
+client at a time, so a round's device agenda runs as one process invoking
+phases in order. Each phase is isolated in try/except; artifacts are
+written by the harnesses themselves (export RTP_ROUND to pin the round).
 
-Usage: RTP_ROUND=4 python -m tools.run_round4 [phase ...]
-       (no args = all phases, in order)
+Usage: RTP_ROUND=N python -m tools.run_device_batch [phase ...]
+       (no args = the full ordered set below)
+
+Phases: tpu_lane verify_drive bench_grad bench_front bench_headline
+        roofline kprobes bench_geom config3 scaling_native config5
+        headline_repack_sweep
+
+Round 4 ran five of these batches while iterating the replay design on
+hardware; the per-batch scripts were consolidated here.
 """
 
 from __future__ import annotations
@@ -20,10 +24,9 @@ import sys
 import time
 import traceback
 
-os.environ.setdefault("RTP_ROUND", "4")
 os.environ.setdefault("SCALING_BACKEND", "native")
 
-PHASES: list = []  # (name, fn), run in registration order
+PHASES: list = []
 
 
 def phase(name):
@@ -34,22 +37,28 @@ def phase(name):
     return deco
 
 
-@phase("tpu_lane")
-def run_tpu_lane():
-    # subprocess BEFORE the parent acquires the device (see module doc)
-    from tools import run_tpu_lane as lane
-
+def _with_argv(argv, fn):
     old = sys.argv
     try:
-        sys.argv = ["run_tpu_lane"]
-        lane.main()
+        sys.argv = argv
+        fn()
     finally:
         sys.argv = old
 
 
+@phase("tpu_lane")
+def run_tpu_lane():
+    # subprocess BEFORE this parent process initializes the backend: two
+    # device clients total for a whole batch
+    from tools import run_tpu_lane as lane
+
+    _with_argv(["run_tpu_lane"], lane.main)
+
+
 @phase("verify_drive")
 def run_verify_drive():
-    """The /verify skill's drive: real-chip render_image + session smoke."""
+    """The /verify skill's drive: real-chip render_image + session smoke
+    + misuse probe."""
     import numpy as np
     import jax
     import raytracingproject_tpu as rt
@@ -69,7 +78,7 @@ def run_verify_drive():
 
     from raytracingproject_tpu.utils.ppm import write_ppm
 
-    write_ppm(img, "/tmp/round4_verify.ppm")
+    write_ppm(img, "/tmp/device_batch_verify.ppm")
 
     from raytracingproject_tpu.config import RenderSettings
     from raytracingproject_tpu.session import RendererSession, SessionError
@@ -83,8 +92,7 @@ def run_verify_drive():
     s.init()
     s.load_preconfigured_shapes()
     s.start_interactive_loop(duration_ms=120000, max_frames=3)
-    print(json.dumps({"verify_session_frames": 3,
-                      "verify_ppm": "/tmp/round4_verify.ppm"}), flush=True)
+    print(json.dumps({"verify_session_frames": 3}), flush=True)
 
 
 @phase("bench_grad")
@@ -98,12 +106,8 @@ def run_bench_grad():
 def run_bench_front():
     from tools import bench_front_full
 
-    old = sys.argv
-    try:
-        sys.argv = ["bench_front_full", "0", "5000", "50000"]
-        bench_front_full.main()
-    finally:
-        sys.argv = old
+    _with_argv(["bench_front_full", "0", "5000", "50000"],
+               bench_front_full.main)
 
 
 @phase("bench_headline")
@@ -138,12 +142,7 @@ def run_bench_geom():
 def run_config3():
     from tools import bench_config3
 
-    old = sys.argv
-    try:
-        sys.argv = ["bench_config3"]
-        bench_config3.main()
-    finally:
-        sys.argv = old
+    _with_argv(["bench_config3"], bench_config3.main)
 
 
 @phase("scaling_native")
@@ -157,12 +156,18 @@ def run_scaling_native():
 def run_config5():
     from tools import bench_config5
 
-    old = sys.argv
-    try:
-        sys.argv = ["bench_config5"]
-        bench_config5.main()
-    finally:
-        sys.argv = old
+    _with_argv(["bench_config5"], bench_config5.main)
+
+
+@phase("headline_repack_sweep")
+def run_headline_sweep():
+    import bench
+
+    for rp in ("1", "2", "3"):
+        os.environ["BENCH_REPACK"] = rp
+        print(json.dumps({"headline_repack": int(rp)}), flush=True)
+        bench.main()
+    os.environ.pop("BENCH_REPACK", None)
 
 
 def main() -> None:
@@ -179,10 +184,9 @@ def main() -> None:
         except Exception:
             traceback.print_exc()
             results[name] = "FAILED"
-        dt = time.perf_counter() - t0
-        print(f"==== PHASE {name} {results[name]} ({dt:.0f}s) ====",
-              flush=True)
-    print(json.dumps({"round4_phases": results}), flush=True)
+        print(f"==== PHASE {name} {results[name]} "
+              f"({time.perf_counter() - t0:.0f}s) ====", flush=True)
+    print(json.dumps({"device_batch_phases": results}), flush=True)
 
 
 if __name__ == "__main__":
