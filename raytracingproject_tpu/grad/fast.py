@@ -50,8 +50,9 @@ def make_fast_radiance(scene: Scene, max_depth: int, bvh=None, front=None,
     `replay_groups > 1` sorts rays by death depth and replays in that many
     slices so dead bounces are skipped per slice (replay_radiance's
     dead-depth skipping) — the lever that makes depth-50 backward cost
-    ~the mean path length, not max_depth. Gradients are identical
-    (permutation-invariant sums; tests/test_replay.py asserts equality).
+    ~the mean path length, not max_depth. Gradients agree to float
+    precision (tests/test_replay.py asserts 2e-4 relative tolerance;
+    cond-wrapped scans fuse differently, measured ~2.6e-5 rel).
     """
     from raytracingproject_tpu.ops.pallas.megakernel import (
         pallas_trace_paths, pallas_trace_record,
@@ -81,6 +82,72 @@ def make_fast_radiance(scene: Scene, max_depth: int, bvh=None, front=None,
             lambda p: replay_radiance(p, scene, origin, direction, time, res,
                                       n_groups=replay_groups,
                                       skip_dead=replay_skip_dead),
+            params,
+        )
+        (g_params,) = vjp(g)
+        return (
+            g_params,
+            jnp.zeros_like(origin),
+            jnp.zeros_like(direction),
+            jnp.zeros_like(time),
+            jnp.zeros((), time.dtype),
+        )
+
+    radiance.defvjp(fwd, bwd)
+    return radiance
+
+
+def make_fast_radiance_twophase(scene: Scene, max_depth: int, cut: int = 4,
+                                cap_frac: float = 0.25, front=None,
+                                interpret: bool = False):
+    """make_fast_radiance with the DEATH-COHERENT two-phase pipeline:
+
+    forward  — pallas_trace_paths_twophase (short full-frame prefix, one
+               alive-first compaction, packed tail — the tile-granularity
+               early-exit-waste fix, ROOFLINE_r04 missing #1);
+    fwd      — pallas_trace_record_twophase (same pipeline, residuals
+               recorded per phase);
+    backward — replay_radiance_twophase: `cut` bounces for every ray plus
+               the depth tail for only a survivor-capacity prefix
+               (cap_frac of the padded ray count), with an exact
+               full-width lax.cond fallback on overflow — O(live depth)
+               structurally, never approximate.
+
+    `front` (FrontTables) snapshots fixed geometry — same caveat as
+    make_fast_radiance."""
+    from raytracingproject_tpu.ops.pallas.megakernel import (
+        pallas_trace_paths_twophase, pallas_trace_record_twophase,
+    )
+    from raytracingproject_tpu.grad.replay import replay_radiance_twophase
+
+    @jax.custom_vjp
+    def radiance(params, origin, direction, time, seed_f32):
+        s = apply_params(scene, params)
+        seed = seed_f32.astype(jnp.int32)
+        return pallas_trace_paths_twophase(
+            origin, direction, time, s, seed, max_depth, cuts=(cut,),
+            interpret=interpret, front=front,
+        )
+
+    def fwd(params, origin, direction, time, seed_f32):
+        s = apply_params(scene, params)
+        seed = seed_f32.astype(jnp.int32)
+        rad, res1, res2, src, dest, n_alive = pallas_trace_record_twophase(
+            origin, direction, time, s, seed, max_depth, cut=cut,
+            interpret=interpret, front=front,
+        )
+        return rad, (params, origin, direction, time, res1, res2, src, dest,
+                     n_alive)
+
+    def bwd(saved, g):
+        params, origin, direction, time, res1, res2, src, dest, n_alive = saved
+        r_pad = res1.idx.shape[1]
+        cap = max(1, int(round(r_pad * cap_frac)))
+        _, vjp = jax.vjp(
+            lambda p: replay_radiance_twophase(
+                p, scene, origin, direction, time, res1, res2, src, dest,
+                n_alive, cap_rays=cap,
+            ),
             params,
         )
         (g_params,) = vjp(g)
@@ -252,6 +319,24 @@ def make_fast_geometry_train_step(
         return params, opt_state, loss, grads
 
     params0 = extract_params(scene)
+    if refresher is None:
+        # The explicit-front form trusts the CALLER to refresh tables every
+        # step; a front reused across steps while geometry trains reopens
+        # exactly the stale-bounds hazard make_fast_train_step raises on.
+        # Warn (not raise: per-step host refresh is a legitimate pattern).
+        import warnings
+
+        geo = set(GEOMETRY_FIELDS if trainable is None else trainable)
+        if geo & set(GEOMETRY_FIELDS):
+            warnings.warn(
+                "make_fast_geometry_train_step without a refresher: the "
+                "caller MUST pass fresh front tables every step (e.g. "
+                "refresher.refresh(params)); reusing one front while "
+                f"{sorted(geo & set(GEOMETRY_FIELDS))} train gives silently "
+                "wrong culling/gradients. Prefer passing refresher= for the "
+                "in-jit refresh.",
+                stacklevel=2,
+            )
     step = step_auto if refresher is not None else step_explicit
     return params0, optimizer.init(params0), step
 
@@ -272,9 +357,16 @@ def make_fast_train_step(
     front=None,
     replay_groups: int = 1,
     replay_skip_dead: bool | None = None,
+    two_phase: int | None = None,
+    cap_frac: float = 0.25,
 ):
     """Inverse-rendering train step on the fast path (grad/inverse.py's
     make_train_step with the Pallas forward + replay backward).
+
+    `two_phase` (a cut depth, e.g. 4) switches to the death-coherent
+    two-phase pipeline (make_fast_radiance_twophase): compacted forward +
+    O(live-depth) backward with `cap_frac` survivor capacity. bvh and the
+    replay_* knobs do not apply there.
 
     `front` (megakernel.FrontTables over `scene`, which must already be in
     BVH leaf order) runs the front-culled closest hit in the recording
@@ -314,10 +406,16 @@ def make_fast_train_step(
     width, height = camera.image_size()
     cam = camera.derive(scene.center0.dtype)
     max_depth = camera.max_depth
-    radiance_fn = make_fast_radiance(scene, max_depth, bvh=bvh, front=front,
-                                     interpret=interpret,
-                                     replay_groups=replay_groups,
-                                     replay_skip_dead=replay_skip_dead)
+    if two_phase is not None:
+        radiance_fn = make_fast_radiance_twophase(
+            scene, max_depth, cut=two_phase, cap_frac=cap_frac, front=front,
+            interpret=interpret,
+        )
+    else:
+        radiance_fn = make_fast_radiance(scene, max_depth, bvh=bvh,
+                                         front=front, interpret=interpret,
+                                         replay_groups=replay_groups,
+                                         replay_skip_dead=replay_skip_dead)
 
     jj, ii = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.int32),

@@ -149,65 +149,9 @@ def xla_trace_record(
     return radiance, PathResiduals(idx=idx, ndir=ndir, refl=refl)
 
 
-def replay_radiance(
-    params: SceneParams,
-    scene: Scene,
-    origin: jnp.ndarray,
-    direction: jnp.ndarray,
-    time: jnp.ndarray,
-    res: PathResiduals,
-    n_groups: int = 1,
-    skip_dead: bool | None = None,
-) -> jnp.ndarray:
-    """Differentiable replay of recorded paths: radiance [R, 3] as a
-    function of `params`, with all discrete decisions frozen to `res`.
-
-    At the recording parameters this reproduces the forward radiance to
-    float precision; its jax.grad equals reverse-mode through the full
-    renderer (see module docstring). Cost per bounce: ONE sphere quadratic
-    per ray.
-
-    Attribute lookup is a HYBRID gather: plain jnp.take in the forward
-    (exact, ~KBs of traffic) with a custom VJP that transposes as ONE-HOT
-    MATMUL (onehot^T @ cotangent on the MXU). Round-2 measured jnp.take's
-    default transpose (scatter-add -> sort-based combiner) at 93% of the
-    step (tools/kgrad.py); round 3 replaced BOTH directions with one-hot
-    matmuls; round 4 found the forward one-hot materializes [R, N] f32 in
-    HBM per bounce (~350 MB at the 400px flagship) — the take-forward /
-    matmul-backward split keeps the exact values and the fast transpose
-    while dropping the forward materialization. Exact: the one-hot rows
-    have a single 1.0, so the transpose product reproduces the gather's
-    adjoint bit-for-bit.
-
-    DEAD-DEPTH SKIPPING: each scan step is predicated on "any ray in this
-    batch still un-dead at this bounce" (a constant of `res`), so bounces
-    past the batch's deepest path cost one skipped cond in both sweeps —
-    at the reference's depth 50 (src/main.cpp:59) typical paths die in
-    2-4 bounces and the whole [D] scan is priced by the deepest survivor,
-    not by max_depth. `n_groups > 1` extends this sub-batch: rays are
-    sorted by death depth (a stop-gradient permutation — parameter
-    gradients are permutation-invariant sums, and the returned radiance is
-    unpermuted), split into `n_groups` equal slices, and each slice scans
-    only while ITS deepest ray lives; the shallow majority stops early
-    instead of riding the one depth-50 glass path. Exactness-preserving:
-    a skipped bounce is identity for every ray in the slice (dead rays
-    update nothing), and death is permanent so the predicate is monotone."""
-    scene_p = apply_params(scene, params)
-    sg = jax.lax.stop_gradient
-    n_spheres = scene.radius.shape[0]
-    # Gather-mode choice, measured end-to-end on hardware (FWDBWD_r04):
-    # the take forward wins ~2x at depth 8 (cover 4.95 -> 8.03 Mrays/s),
-    # but at depth 50 the one-hot forward's per-step working set beats the
-    # (barrier-guarded) take in the full-step context by ~3x per ray
-    # (1200x675 one-hot: 0.27 us/ray vs 400px take: 0.75) AND avoids the
-    # hoisted-[D, R, 128] OOM hazard entirely. Rule: take for shallow
-    # recordings, one-hot for deep.
-    gather_rows = _make_gather_rows(
-        n_spheres, onehot_fwd=res.idx.shape[0] > 16
-    )
-
-    # [N, 14] attribute table (differentiable leaves as columns).
-    table = jnp.concatenate(
+def _attr_table(scene_p: Scene, scene: Scene) -> jnp.ndarray:
+    """[N, 13] attribute table (differentiable leaves as columns)."""
+    return jnp.concatenate(
         [
             scene_p.center0,                     # 0:3
             scene_p.center_delta,                # 3:6
@@ -220,15 +164,12 @@ def replay_radiance(
         axis=1,
     )
 
-    def step(tm, carry, r):
-        pred, rr = r
-        return (
-            jax.lax.cond(
-                pred, lambda c, x: _live_step(tm, c, x), lambda c, _: c,
-                carry, rr,
-            ),
-            None,
-        )
+
+def _make_live_step(table, gather_rows):
+    """One differentiable replay bounce: carry (o, d, thr, L), residual row
+    r = (idx, ndir, refl). See the module docstring for the replay algebra;
+    the quadratic re-solve is src/sphere.h:30-57 on the known winner."""
+    sg = jax.lax.stop_gradient
 
     def _live_step(time, carry, r):
         o, d, thr, L = carry
@@ -298,6 +239,176 @@ def replay_radiance(
         o = jnp.where(hit[:, None], p, o)
         d = jnp.where(hit[:, None], nd, d)
         return (o, d, thr, L)
+
+    return _live_step
+
+
+def replay_radiance_twophase(
+    params: SceneParams,
+    scene: Scene,
+    origin: jnp.ndarray,     # [R, 3]
+    direction: jnp.ndarray,  # [R, 3]
+    time: jnp.ndarray,       # [R]
+    res1: PathResiduals,     # [cut, Rp] — original ray order
+    res2: PathResiduals,     # [D - cut, Rp] — PACKED order (alive-first)
+    src: jnp.ndarray,        # [Rp] int32 packing permutation
+    dest: jnp.ndarray,       # [Rp] int32 inverse permutation
+    n_alive: jnp.ndarray,    # scalar int32 — survivors after the cut
+    cap_rays: int | None = None,
+) -> jnp.ndarray:
+    """Differentiable replay of a TWO-PHASE recording
+    (megakernel.pallas_trace_record_twophase): radiance [R, 3] as a function
+    of `params`, O(cut + tail * survivor_fraction) per ray instead of
+    O(max_depth).
+
+    The phase-1 scan covers every ray for `cut` bounces. The carry
+    (o, d, thr, L — all differentiable functions of params) is then packed
+    by `src` (a stop-gradient permutation) and the phase-2 scan runs over
+    only the first `cap_rays` packed rays — positions past n_alive hold
+    all-DEAD rows contributing exactly zero, so dropping them is EXACT as
+    long as cap_rays >= n_alive. When a frame overflows the capacity
+    (n_alive > cap_rays, e.g. a pathological all-glass view), a
+    `lax.cond` falls back to the full-width phase-2 scan: gradients are
+    ALWAYS exact; capacity only bounds the fast path. Default capacity:
+    half the padded ray count (set cap_rays explicitly to tune; the
+    survivor fraction after cut=4 on the cover scene measures ~10-20%)."""
+    sgi = jax.lax.stop_gradient
+    scene_p = apply_params(scene, params)
+    n_spheres = scene.radius.shape[0]
+    table = _attr_table(scene_p, scene)
+
+    R = origin.shape[0]
+    Rp = res1.idx.shape[1]
+    if cap_rays is None:
+        cap_rays = Rp // 2
+    cap_rays = min(max(int(cap_rays), 1), Rp)
+
+    def pad_rows(x, fill=0.0):
+        if Rp == R:
+            return x
+        widths = [(0, Rp - R)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    o0 = pad_rows(origin)
+    d0 = pad_rows(direction, 1.0)  # padding rays: finite direction, DEAD rows
+    tm = pad_rows(time)
+
+    gather1 = _make_gather_rows(n_spheres, onehot_fwd=res1.idx.shape[0] > 16)
+    step1 = _make_live_step(table, gather1)
+    dtype = origin.dtype
+    init = (o0, d0, jnp.ones((Rp, 3), dtype), jnp.zeros((Rp, 3), dtype))
+    body1 = lambda c, r: (step1(tm, c, r), None)
+    carry1, _ = jax.lax.scan(
+        jax.checkpoint(body1), init, (res1.idx, res1.ndir, res1.refl)
+    )
+
+    src = sgi(src)
+    dest = sgi(dest)
+    o_p, d_p, thr_p, L_p = (jnp.take(x, src, axis=0) for x in carry1)
+    tm_p = jnp.take(tm, src)
+
+    gather2 = _make_gather_rows(n_spheres, onehot_fwd=res2.idx.shape[0] > 16)
+    step2 = _make_live_step(table, gather2)
+
+    def scan2(o, d, thr, L, tmx, idx, ndir, refl):
+        body2 = lambda c, r: (step2(tmx, c, r), None)
+        (_, _, _, L_out), _ = jax.lax.scan(
+            jax.checkpoint(body2), (o, d, thr, L), (idx, ndir, refl)
+        )
+        return L_out
+
+    if cap_rays == Rp:
+        L_packed = scan2(o_p, d_p, thr_p, L_p, tm_p,
+                         res2.idx, res2.ndir, res2.refl)
+    else:
+        def fast_branch(ops):
+            o, d, thr, L, tmx = ops
+            L2 = scan2(
+                o[:cap_rays], d[:cap_rays], thr[:cap_rays], L[:cap_rays],
+                tmx[:cap_rays], res2.idx[:, :cap_rays],
+                res2.ndir[:, :cap_rays], res2.refl[:, :cap_rays],
+            )
+            return jnp.concatenate([L2, L[cap_rays:]], axis=0)
+
+        def full_branch(ops):
+            o, d, thr, L, tmx = ops
+            return scan2(o, d, thr, L, tmx, res2.idx, res2.ndir, res2.refl)
+
+        L_packed = jax.lax.cond(
+            n_alive <= cap_rays, fast_branch, full_branch,
+            (o_p, d_p, thr_p, L_p, tm_p),
+        )
+    return jnp.take(L_packed, dest, axis=0)[:R]
+
+
+def replay_radiance(
+    params: SceneParams,
+    scene: Scene,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    time: jnp.ndarray,
+    res: PathResiduals,
+    n_groups: int = 1,
+    skip_dead: bool | None = None,
+) -> jnp.ndarray:
+    """Differentiable replay of recorded paths: radiance [R, 3] as a
+    function of `params`, with all discrete decisions frozen to `res`.
+
+    At the recording parameters this reproduces the forward radiance to
+    float precision; its jax.grad equals reverse-mode through the full
+    renderer (see module docstring). Cost per bounce: ONE sphere quadratic
+    per ray.
+
+    Attribute lookup is a HYBRID gather: plain jnp.take in the forward
+    (exact, ~KBs of traffic) with a custom VJP that transposes as ONE-HOT
+    MATMUL (onehot^T @ cotangent on the MXU). Round-2 measured jnp.take's
+    default transpose (scatter-add -> sort-based combiner) at 93% of the
+    step (tools/kgrad.py); round 3 replaced BOTH directions with one-hot
+    matmuls; round 4 found the forward one-hot materializes [R, N] f32 in
+    HBM per bounce (~350 MB at the 400px flagship) — the take-forward /
+    matmul-backward split keeps the exact values and the fast transpose
+    while dropping the forward materialization. Exact: the one-hot rows
+    have a single 1.0, so the transpose product reproduces the gather's
+    adjoint bit-for-bit.
+
+    DEAD-DEPTH SKIPPING: each scan step is predicated on "any ray in this
+    batch still un-dead at this bounce" (a constant of `res`), so bounces
+    past the batch's deepest path cost one skipped cond in both sweeps —
+    at the reference's depth 50 (src/main.cpp:59) typical paths die in
+    2-4 bounces and the whole [D] scan is priced by the deepest survivor,
+    not by max_depth. `n_groups > 1` extends this sub-batch: rays are
+    sorted by death depth (a stop-gradient permutation — parameter
+    gradients are permutation-invariant sums, and the returned radiance is
+    unpermuted), split into `n_groups` equal slices, and each slice scans
+    only while ITS deepest ray lives; the shallow majority stops early
+    instead of riding the one depth-50 glass path. Exactness-preserving:
+    a skipped bounce is identity for every ray in the slice (dead rays
+    update nothing), and death is permanent so the predicate is monotone."""
+    scene_p = apply_params(scene, params)
+    n_spheres = scene.radius.shape[0]
+    # Gather-mode choice, measured end-to-end on hardware (FWDBWD_r04):
+    # the take forward wins ~2x at depth 8 (cover 4.95 -> 8.03 Mrays/s),
+    # but at depth 50 the one-hot forward's per-step working set beats the
+    # (barrier-guarded) take in the full-step context by ~3x per ray
+    # (1200x675 one-hot: 0.27 us/ray vs 400px take: 0.75) AND avoids the
+    # hoisted-[D, R, 128] OOM hazard entirely. Rule: take for shallow
+    # recordings, one-hot for deep.
+    gather_rows = _make_gather_rows(
+        n_spheres, onehot_fwd=res.idx.shape[0] > 16
+    )
+
+    table = _attr_table(scene_p, scene)
+    _live_step = _make_live_step(table, gather_rows)
+
+    def step(tm, carry, r):
+        pred, rr = r
+        return (
+            jax.lax.cond(
+                pred, lambda c, x: _live_step(tm, c, x), lambda c, _: c,
+                carry, rr,
+            ),
+            None,
+        )
 
     sgi = jax.lax.stop_gradient
 

@@ -480,7 +480,8 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
                  dx_ref, dy_ref, dz_ref, tm_ref, rr_ref, rg_ref, rb_ref,
                  *, max_depth: int, t_min: float, res_refs=None,
                  init_refs=None, state_out_refs=None, inject_bug=None,
-                 miss_refs=None, miss_init_refs=None):
+                 miss_refs=None, miss_init_refs=None,
+                 res_mask=(True, True, True, True)):
     """Shared kernel body: depth loop of (closest hit -> shade/scatter).
 
     `res_refs` = (code, ndx, ndy, ndz) VMEM refs of shape
@@ -655,14 +656,24 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
 
         hit_live = alive_b & hit
         if res_refs is not None:
+            # res_mask (PROBE-ONLY bisection knob, tools/kgrad.py): a False
+            # entry skips that plane's stores — its output buffer holds
+            # garbage, the probe only times. Production callers always
+            # record all four.
             code_ref, ndx_ref, ndy_ref, ndz_ref = res_refs
             miss_live = alive_b & ~hit
-            idx_val = jnp.where(hit_live, bs, jnp.where(miss_live, -1.0, -2.0))
-            rfl_bit = jnp.where(hit_live & is_die & do_refl, 1.0, 0.0)
-            code_ref[pl.ds(dep, 1)] = (2.0 * idx_val + rfl_bit)[None]
-            ndx_ref[pl.ds(dep, 1)] = jnp.where(hit_live, sx, 0.0)[None]
-            ndy_ref[pl.ds(dep, 1)] = jnp.where(hit_live, sy, 0.0)[None]
-            ndz_ref[pl.ds(dep, 1)] = jnp.where(hit_live, sz, 0.0)[None]
+            if res_mask[0]:
+                idx_val = jnp.where(
+                    hit_live, bs, jnp.where(miss_live, -1.0, -2.0)
+                )
+                rfl_bit = jnp.where(hit_live & is_die & do_refl, 1.0, 0.0)
+                code_ref[pl.ds(dep, 1)] = (2.0 * idx_val + rfl_bit)[None]
+            if res_mask[1]:
+                ndx_ref[pl.ds(dep, 1)] = jnp.where(hit_live, sx, 0.0)[None]
+            if res_mask[2]:
+                ndy_ref[pl.ds(dep, 1)] = jnp.where(hit_live, sy, 0.0)[None]
+            if res_mask[3]:
+                ndz_ref[pl.ds(dep, 1)] = jnp.where(hit_live, sz, 0.0)[None]
         thr_r = thr_r * jnp.where(hit_live, att_r, 1.0)
         thr_g = thr_g * jnp.where(hit_live, att_g, 1.0)
         thr_b = thr_b * jnp.where(hit_live, att_b, 1.0)
@@ -692,29 +703,41 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
     carry = (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
              rad_r, rad_g, rad_b, alive) + miss0
     # Rolled depth loop (keeps kernel code size O(1) in max_depth — an
-    # unrolled python loop at depth 16+ blows Mosaic compile time); each
-    # iteration early-exits via a scalar branch once the tile is dead.
-    # Residual planes: every depth's row is written exactly once — live
-    # bounces write real values inside bounce(), early-exited bounces write
-    # the DEAD row (code = 2 * DEAD = -4) in the skip branch. (An upfront
-    # whole-block fill materialized a [max_depth, 8, 128] constant per
-    # plane — 800 KB of VMEM stores per tile at depth 50, most immediately
-    # overwritten.)
-    def depth_body(d, c):
-        def dead_fill(x):
-            if res_refs is not None:
+    # unrolled python loop at depth 16+ blows Mosaic compile time) as a
+    # WHILE over depth: the loop condition is "depth remains AND any ray in
+    # the tile is alive", so a tile whose rays all terminated exits the
+    # bounce loop entirely at its death depth. (The earlier fori+cond form
+    # still paid the ~460-cycle vector->scalar `any(alive)` sync for every
+    # REMAINING depth iteration — at depth 16 with mean death ~2.7 that is
+    # ~13 wasted syncs per tile; at depth 50, ~47.)
+    def depth_cond(c):
+        return (c[0] < max_depth) & (jnp.max(c[13]) > 0.5)
+
+    def depth_body(c):
+        return (c[0] + 1, *bounce(c[0], c[1:]))
+
+    d_end, *carry = jax.lax.while_loop(
+        depth_cond, depth_body, (jnp.int32(0), *carry)
+    )
+    carry = tuple(carry)
+    if res_refs is not None:
+        # Residual planes: every depth's row is written exactly once — live
+        # bounces wrote real values inside bounce(); rows past the tile's
+        # death depth get the DEAD row (code = 2 * DEAD = -4) in one tight
+        # post-loop fill. (An upfront whole-block fill materialized a
+        # [max_depth, 8, 128] constant per plane — 800 KB of VMEM stores
+        # per tile at depth 50, most immediately overwritten.)
+        def dead_fill(d, x):
+            if res_mask[0]:
                 res_refs[0][pl.ds(d, 1)] = jnp.full(
                     (1, SUB, LANES), -4.0, jnp.float32
                 )
-                for r in res_refs[1:]:
+            for r, m in zip(res_refs[1:], res_mask[1:]):
+                if m:
                     r[pl.ds(d, 1)] = jnp.zeros((1, SUB, LANES), jnp.float32)
             return x
 
-        return jax.lax.cond(
-            jnp.max(c[12]) > 0.5, lambda x: bounce(d, x), dead_fill, c
-        )
-
-    carry = jax.lax.fori_loop(0, max_depth, depth_body, carry)
+        jax.lax.fori_loop(d_end, max_depth, dead_fill, 0)
 
     rr_ref[:] = carry[9]
     rg_ref[:] = carry[10]
@@ -981,12 +1004,15 @@ class FrontRefresher:
     and params never need reordering."""
 
     def __init__(self, scene: Scene, bvh, max_nodes: int | None = None,
-                 order_point=None, repack: int = 1):
+                 order_point=None, repack: int | None = None):
         import numpy as np
 
         from raytracingproject_tpu.bvh import bvh_front
 
-        self.repack = repack
+        # None -> the library-tuned DEFAULT_REPACK, same as front_tables:
+        # geometry training previously defaulted to repack=1 and silently
+        # lost the benchmarked repack-2 win when switching to the refresher
+        self.repack = DEFAULT_REPACK if repack is None else repack
         n = int(scene.radius.shape[0])
         if max_nodes is None:
             max_nodes = default_front_nodes(n)
@@ -1354,7 +1380,7 @@ def pallas_trace_paths(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_depth", "t_min", "interpret")
+    jax.jit, static_argnames=("max_depth", "t_min", "interpret", "res_mask")
 )
 def pallas_trace_record(
     origin: jnp.ndarray,     # [R, 3]
@@ -1367,6 +1393,7 @@ def pallas_trace_record(
     interpret: bool = False,
     bvh=None,
     front=None,
+    res_mask: tuple = (True, True, True, True),
 ):
     """Like pallas_trace_paths, but also records path residuals in-kernel
     for the path-replay backward (grad/replay.py).
@@ -1425,7 +1452,8 @@ def pallas_trace_record(
                 )
 
             _bounce_loop(seed_ref, hit, *ray_refs, rr, rg, rb,
-                         max_depth=max_depth, t_min=t_min, res_refs=res_refs)
+                         max_depth=max_depth, t_min=t_min, res_refs=res_refs,
+                         res_mask=res_mask)
 
         in_specs = [
             smem((1, 1)), smem(front.sph.shape),
@@ -1448,7 +1476,8 @@ def pallas_trace_record(
                 return _closest_hit_brute(sph_ref, rays, t_min, n, shape)
 
             _bounce_loop(seed_ref, hit, *ray_refs, *out_refs,
-                         max_depth=max_depth, t_min=t_min, res_refs=res_refs)
+                         max_depth=max_depth, t_min=t_min, res_refs=res_refs,
+                         res_mask=res_mask)
 
         in_specs = [smem((1, 1)), smem((N_ROWS, n))]
         args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), _scene_table(scene))
@@ -1469,7 +1498,8 @@ def pallas_trace_record(
                 return _closest_hit_bvh(sph_ref, nf_ref, ni_ref, rays, t_min, shape)
 
             _bounce_loop(seed_ref, hit, *ray_refs, *out_refs,
-                         max_depth=max_depth, t_min=t_min, res_refs=res_refs)
+                         max_depth=max_depth, t_min=t_min, res_refs=res_refs,
+                         res_mask=res_mask)
 
         in_specs = [smem((1, 1)), smem((N_ROWS, n)), smem((6, m)), smem((3, m))]
         args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), _scene_table(scene), nf, ni)
@@ -1527,18 +1557,19 @@ def pallas_trace_record(
 # exit + dead-ray parking already absorb most of it.
 # ---------------------------------------------------------------------------
 
-def _seg_plumbing(rest, record_miss, n_scratch):
+def _seg_plumbing(rest, record_miss, n_scratch, record=False):
     """Split a segment kernel's variadic refs into the _bounce_loop wiring.
 
     Input planes: 7 rays + 7 carried state (+6 miss). Output planes:
-    9 state (o, d, thr) + 3 rad + alive (+6 miss). Scratch refs trail."""
+    9 state (o, d, thr) + 3 rad + alive (+6 miss) (+4 residual planes when
+    `record`). Scratch refs trail."""
     n_in = 20 if record_miss else 14
-    n_out = 19 if record_miss else 13
+    n_out = (19 if record_miss else 13) + (4 if record else 0)
     assert len(rest) == n_in + n_out + n_scratch, (
         f"segment plane count mismatch: got {len(rest)} refs, expected "
         f"{n_in} in + {n_out} out + {n_scratch} scratch "
-        f"(record_miss={record_miss}) — a plane was added in one place but "
-        "not the others"
+        f"(record_miss={record_miss}, record={record}) — a plane was added "
+        "in one place but not the others"
     )
     ins = rest[:n_in]
     scratch = rest[len(rest) - n_scratch:] if n_scratch else ()
@@ -1549,16 +1580,18 @@ def _seg_plumbing(rest, record_miss, n_scratch):
     state_out = outs[0:9] + outs[12:13]  # o, d, thr, alive
     rr, rg, rb = outs[9:12]
     miss_refs = outs[13:19] if record_miss else None
+    res_refs = outs[-4:] if record else None
     return ray_refs, init_refs, miss_init_refs, state_out, (rr, rg, rb), \
-        miss_refs, scratch
+        miss_refs, res_refs, scratch
 
 
 def _megakernel_seg_brute(
     seed_ref, sph_ref, *rest,
     n_spheres: int, max_depth: int, t_min: float, record_miss: bool = False,
+    record: bool = False,
 ):
     (ray_refs, init_refs, miss_init_refs, state_out, (rr, rg, rb),
-     miss_refs, _) = _seg_plumbing(rest, record_miss, 0)
+     miss_refs, res_refs, _) = _seg_plumbing(rest, record_miss, 0, record)
 
     def hit(rays, shape):
         return _closest_hit_brute(sph_ref, rays, t_min, n_spheres, shape)
@@ -1568,16 +1601,18 @@ def _megakernel_seg_brute(
         max_depth=max_depth, t_min=t_min,
         init_refs=init_refs, state_out_refs=state_out,
         miss_refs=miss_refs, miss_init_refs=miss_init_refs,
+        res_refs=res_refs,
     )
 
 
 def _megakernel_seg_front(
     seed_ref, sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, *rest,
     n_front: int, max_depth: int, t_min: float, record_miss: bool = False,
-    repack: int = 1,
+    record: bool = False, repack: int = 1,
 ):
     (ray_refs, init_refs, miss_init_refs, state_out, (rr, rg, rb),
-     miss_refs, scratch) = _seg_plumbing(rest, record_miss, 2)
+     miss_refs, res_refs, scratch) = _seg_plumbing(rest, record_miss, 2,
+                                                   record)
     livew_ref, live_ref = scratch
 
     def hit(rays, shape):
@@ -1590,16 +1625,19 @@ def _megakernel_seg_front(
         max_depth=max_depth, t_min=t_min,
         init_refs=init_refs, state_out_refs=state_out,
         miss_refs=miss_refs, miss_init_refs=miss_init_refs,
+        res_refs=res_refs,
     )
 
 
 def _segment_call(planes, scene, seed, depth, t_min, front, interpret,
-                  record_miss=False):
+                  record_miss=False, record=False):
     """One segment launch: 14 input planes [T*SUB, LANES] -> 13 outputs
     (o, d, thr, rad, alive). `planes` order: ox oy oz dx dy dz tm thr_rgb
     rad_rgb alive. With `record_miss`, 6 miss planes (mdir, mthr) ride
     along as both inputs and outputs (a path misses in exactly one
-    segment)."""
+    segment). With `record`, 4 residual planes [depth, T*SUB, LANES]
+    (code, ndx, ndy, ndz — see _bounce_loop) are appended to the outputs,
+    rows indexed by SEGMENT-LOCAL bounce depth."""
     tiles = planes[0].shape[0] // SUB
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
@@ -1611,7 +1649,7 @@ def _segment_call(planes, scene, seed, depth, t_min, front, interpret,
         n_front = front.ff.shape[1]
         kernel = functools.partial(
             _megakernel_seg_front, n_front=n_front, max_depth=depth,
-            t_min=t_min, record_miss=record_miss,
+            t_min=t_min, record_miss=record_miss, record=record,
             repack=getattr(front, "repack", 1),
         )
         in_specs = [
@@ -1631,18 +1669,30 @@ def _segment_call(planes, scene, seed, depth, t_min, front, interpret,
         n = scene.radius.shape[0]
         kernel = functools.partial(
             _megakernel_seg_brute, n_spheres=n, max_depth=depth, t_min=t_min,
-            record_miss=record_miss,
+            record_miss=record_miss, record=record,
         )
         in_specs = [smem((1, 1)), smem((N_ROWS, n))]
         args = (jnp.asarray(seed, jnp.int32).reshape(1, 1), _scene_table(scene))
+
+    out_specs = [ray_spec] * n_out
+    out_shape = [
+        jax.ShapeDtypeStruct((tiles * SUB, LANES), jnp.float32)
+    ] * n_out
+    if record:
+        res_spec = pl.BlockSpec(
+            (depth, SUB, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        out_specs += [res_spec] * 4
+        out_shape += [
+            jax.ShapeDtypeStruct((depth, tiles * SUB, LANES), jnp.float32)
+        ] * 4
 
     return pl.pallas_call(
         kernel,
         grid=(tiles,),
         in_specs=in_specs + [ray_spec] * n_in,
-        out_specs=[ray_spec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((tiles * SUB, LANES), jnp.float32)]
-        * n_out,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(*args, *planes)
@@ -1736,6 +1786,237 @@ def pallas_trace_paths_segmented(
     if record_miss:
         return rad, unperm(14), unperm(17)
     return rad
+
+
+def _alive_first_perm(alive):
+    """Stable alive-first packing permutation WITHOUT a sort.
+
+    Returns (src, dest, n_alive): src[j] = original index of the ray placed
+    at packed position j; dest[i] = packed position of original ray i (the
+    inverse permutation, computed ELEMENTWISE — no scatter). Two cumsums +
+    two vectorized binary searches; the argsort-based compaction the
+    segmented path used costs an XLA device sort per boundary, which
+    dominated its 11x loss (see the segmented section comment)."""
+    n = alive.shape[0]
+    alive_i = (alive > 0.5).astype(jnp.int32)
+    cum = jnp.cumsum(alive_i)
+    n_alive = cum[-1]
+    cumd = jnp.cumsum(1 - alive_i)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    src_live = jnp.searchsorted(cum, pos + 1, side="left").astype(jnp.int32)
+    src_dead = jnp.searchsorted(
+        cumd, pos + 1 - n_alive, side="left"
+    ).astype(jnp.int32)
+    src = jnp.where(pos < n_alive, src_live, src_dead)
+    dest = jnp.where(alive_i > 0, cum - 1, n_alive + cumd - 1)
+    return src, dest, n_alive
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "cuts", "t_min", "interpret",
+                     "record_miss"),
+)
+def pallas_trace_paths_twophase(
+    origin: jnp.ndarray,     # [R, 3]
+    direction: jnp.ndarray,  # [R, 3]
+    time: jnp.ndarray,       # [R]
+    scene: Scene,
+    seed: jnp.ndarray,       # scalar int32
+    max_depth: int,
+    cuts: tuple = (4,),
+    t_min: float = T_MIN,
+    interpret: bool = False,
+    front=None,
+    record_miss: bool = False,
+) -> jnp.ndarray:
+    """Death-coherent trace: short full-frame prefix, ONE compaction, then
+    the depth tail on densely-packed survivor tiles.
+
+    The monolithic kernel's early exit is TILE-granular: a tile pays the
+    MAX bounce count of its 1024 rays (measured 14.8 at depth 16 on the
+    cover scene) while the per-ray mean is 2.7 — 5.5x of the intersection
+    budget goes to retired lanes (ROOFLINE_r04). Per-segment compaction
+    (pallas_trace_paths_segmented) attacked this and LOST 11x to per-boundary
+    argsorts + state round-trips. This is the one-compaction version:
+
+      phase 1   trace bounces [0, cut) for every ray — tiles pay exactly
+                `cut` bounces, no waste;
+      compact   stable alive-first pack via _alive_first_perm (cumsum +
+                binary search, no sort; ONE gather of the 14 state planes);
+      phase 2   trace bounces [cut, max_depth) — survivors are contiguous,
+                so the dead majority forms all-dead tiles that the bounce
+                loop's while-exit leaves after ONE sync, and the deep tail
+                is concentrated in the few leading tiles.
+
+    `cuts` may hold several cut depths (e.g. (2, 6)) — each adds one more
+    compaction; one is usually right (the first bounces kill most rays).
+
+    Statistically identical to pallas_trace_paths (each phase reseeds the
+    in-kernel PRNG; the estimator and its distributions are unchanged —
+    same argument as the segmented docstring). In interpret mode the PRNG
+    returns zeros, making both paths deterministic and bit-comparable
+    (tests/test_pallas_megakernel.py::test_twophase_matches_monolithic)."""
+    R = origin.shape[0]
+    r_pad = ((R + TILE - 1) // TILE) * TILE
+    tiles = r_pad // TILE
+
+    bounds = (0, *cuts, max_depth)
+    assert all(
+        b2 > b1 for b1, b2 in zip(bounds, bounds[1:])
+    ), f"cuts {cuts} must be strictly increasing and < max_depth {max_depth}"
+
+    def pad(x, fill):
+        if r_pad == R:
+            return x.astype(jnp.float32)
+        return jnp.concatenate(
+            [x.astype(jnp.float32), jnp.full((r_pad - R,), fill, jnp.float32)]
+        )
+
+    # flat [r_pad] planes; padding rays are parked dead (see _bounce_loop)
+    state = [
+        pad(origin[:, 0], 1e18), pad(origin[:, 1], 1e18),
+        pad(origin[:, 2], 1e18),
+        pad(direction[:, 0], 1.0), pad(direction[:, 1], 1.0),
+        pad(direction[:, 2], 1.0), pad(time, 0.0),
+        pad(jnp.ones((R,)), 0.0), pad(jnp.ones((R,)), 0.0),
+        pad(jnp.ones((R,)), 0.0),
+        jnp.zeros((r_pad,), jnp.float32), jnp.zeros((r_pad,), jnp.float32),
+        jnp.zeros((r_pad,), jnp.float32), pad(jnp.ones((R,)), 0.0),
+    ]
+    if record_miss:
+        state += [jnp.zeros((r_pad,), jnp.float32) for _ in range(6)]
+
+    # dest_of_orig[i] = current packed position of original ray i
+    dest_of_orig = jnp.arange(r_pad, dtype=jnp.int32)
+    for s, (b0, b1) in enumerate(zip(bounds, bounds[1:])):
+        seed_s = jnp.bitwise_xor(
+            jnp.asarray(seed, jnp.int32),
+            jnp.int32((s * 0x9E3779B1) & 0x7FFFFFFF),
+        )
+        planes = [p.reshape(tiles * SUB, LANES) for p in state]
+        outs = _segment_call(planes, scene, seed_s, b1 - b0, t_min, front,
+                             interpret, record_miss=record_miss)
+        o_planes = [o.reshape(-1) for o in outs]
+        tm = state[6]
+        state = (o_planes[0:6] + [tm] + o_planes[6:9] + o_planes[9:12]
+                 + o_planes[12:])
+        if b1 < max_depth:  # compact before the next phase
+            src, dest, _ = _alive_first_perm(state[13])
+            state = [jnp.take(p, src) for p in state]
+            dest_of_orig = jnp.take(dest, dest_of_orig)
+
+    unperm = lambda i0: jnp.take(
+        jnp.stack(state[i0 : i0 + 3], axis=-1), dest_of_orig, axis=0
+    )[:R]
+    rad = unperm(10)
+    if record_miss:
+        return rad, unperm(14), unperm(17)
+    return rad
+
+
+def _decode_res(code, remap):
+    """(idx, refl) from a packed code plane [D, Rp] (see _bounce_loop)."""
+    ci = code.astype(jnp.int32)
+    idx = ci >> 1  # arithmetic shift floors: -4 -> -2 dead, -2 -> -1 miss
+    refl = (ci & 1) > 0
+    if remap is not None:
+        idx = jnp.where(idx >= 0, jnp.take(remap, jnp.maximum(idx, 0)), idx)
+    return idx, refl
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_depth", "cut", "t_min", "interpret")
+)
+def pallas_trace_record_twophase(
+    origin: jnp.ndarray,     # [R, 3]
+    direction: jnp.ndarray,  # [R, 3]
+    time: jnp.ndarray,       # [R]
+    scene: Scene,
+    seed: jnp.ndarray,       # scalar int32
+    max_depth: int,
+    cut: int = 4,
+    t_min: float = T_MIN,
+    interpret: bool = False,
+    front=None,
+):
+    """Two-phase trace (pallas_trace_paths_twophase, one cut) that also
+    records path residuals per phase for the two-phase replay backward
+    (grad/replay.replay_radiance_twophase).
+
+    Returns (radiance [R, 3], res1, res2, src, dest, n_alive):
+      res1       PathResiduals [cut, Rp] in ORIGINAL ray order (Rp = R
+                 padded to a tile multiple; padding rays are DEAD rows);
+      res2       PathResiduals [max_depth - cut, Rp] in PACKED order —
+                 rays alive after the cut occupy positions [0, n_alive);
+      src/dest   the packing permutation and its inverse ([Rp] int32):
+                 packed[j] = orig[src[j]], dest = position of each orig ray;
+      n_alive    traced scalar — survivor count (positions >= n_alive in
+                 res2 are all-DEAD rows).
+
+    The packed layout is what makes an O(live-depth) backward structural:
+    the replay scans res1 for every ray (cut steps) and res2 only for a
+    static survivor-capacity prefix, with an exact full-width fallback
+    branch when n_alive exceeds it (see replay_radiance_twophase)."""
+    from raytracingproject_tpu.grad.replay import PathResiduals
+
+    R = origin.shape[0]
+    r_pad = ((R + TILE - 1) // TILE) * TILE
+    tiles = r_pad // TILE
+    assert 0 < cut < max_depth, (cut, max_depth)
+
+    def pad(x, fill):
+        if r_pad == R:
+            return x.astype(jnp.float32)
+        return jnp.concatenate(
+            [x.astype(jnp.float32), jnp.full((r_pad - R,), fill, jnp.float32)]
+        )
+
+    state = [
+        pad(origin[:, 0], 1e18), pad(origin[:, 1], 1e18),
+        pad(origin[:, 2], 1e18),
+        pad(direction[:, 0], 1.0), pad(direction[:, 1], 1.0),
+        pad(direction[:, 2], 1.0), pad(time, 0.0),
+        pad(jnp.ones((R,)), 0.0), pad(jnp.ones((R,)), 0.0),
+        pad(jnp.ones((R,)), 0.0),
+        jnp.zeros((r_pad,), jnp.float32), jnp.zeros((r_pad,), jnp.float32),
+        jnp.zeros((r_pad,), jnp.float32), pad(jnp.ones((R,)), 0.0),
+    ]
+
+    remap = front.remap if front is not None else None
+    seed_i = jnp.asarray(seed, jnp.int32)
+    planes = [p.reshape(tiles * SUB, LANES) for p in state]
+    outs = _segment_call(planes, scene, seed_i, cut, t_min, front,
+                         interpret, record=True)
+    res_flat = [o.reshape(cut, -1) for o in outs[13:17]]
+    idx1, refl1 = _decode_res(res_flat[0], remap)
+    res1 = PathResiduals(
+        idx=idx1,
+        ndir=jnp.stack(res_flat[1:4], axis=-1),
+        refl=refl1,
+    )
+    o_planes = [o.reshape(-1) for o in outs[:13]]
+    tm = state[6]
+    state = o_planes[0:6] + [tm] + o_planes[6:9] + o_planes[9:12] \
+        + o_planes[12:13]
+
+    src, dest, n_alive = _alive_first_perm(state[13])
+    state = [jnp.take(p, src) for p in state]
+
+    seed2 = jnp.bitwise_xor(seed_i, jnp.int32(0x9E3779B1 & 0x7FFFFFFF))
+    planes = [p.reshape(tiles * SUB, LANES) for p in state]
+    outs = _segment_call(planes, scene, seed2, max_depth - cut, t_min, front,
+                         interpret, record=True)
+    res_flat = [o.reshape(max_depth - cut, -1) for o in outs[13:17]]
+    idx2, refl2 = _decode_res(res_flat[0], remap)
+    res2 = PathResiduals(
+        idx=idx2,
+        ndir=jnp.stack(res_flat[1:4], axis=-1),
+        refl=refl2,
+    )
+    rad_packed = jnp.stack([o.reshape(-1) for o in outs[9:12]], axis=-1)
+    rad = jnp.take(rad_packed, dest, axis=0)[:R]
+    return rad, res1, res2, src, dest, n_alive
 
 
 # ---------------------------------------------------------------------------
