@@ -102,9 +102,15 @@ def measure(step, params0, opt0, target, n1, n2, reps):
     time_steps(step, params0, opt0, target, n2)
     marginals = []
     loss = float("nan")
-    for _ in range(reps):
+    # reps + 1 cycles, first DISCARDED: round-4 deep rows showed the first
+    # timed rep up to 1.8x the median even after the compile pass (backend
+    # warmup on the tunnel), which made the recorded spreads "median minus
+    # an outlier" instead of real variance (round-4 VERDICT weak #4).
+    for i in range(reps + 1):
         d1, _ = time_steps(step, params0, opt0, target, n1)
         d2, loss = time_steps(step, params0, opt0, target, n2)
+        if i == 0:
+            continue
         if d2 <= d1:  # congestion artifact on the shared chip
             continue
         marginals.append((d2 - d1) / (n2 - n1))
@@ -174,6 +180,13 @@ def main() -> None:
                 scene, cam, opt, spp=spp, trainable=TRAINABLE,
             )
             paths["fast"] = (fstep, fp, fo)
+            # round-5: the death-coherent two-phase pipeline (compacted
+            # forward + capacity-bounded O(live-depth) replay backward)
+            tp, to, tstep = make_fast_train_step(
+                scene, cam, opt, spp=spp, trainable=TRAINABLE,
+                two_phase=4, cap_frac=0.25,
+            )
+            paths["fast_twophase"] = (tstep, tp, to)
             if deep:
                 # controls: the cond-predicated dead-skip and the
                 # death-depth-sorted grouped replay — both measured slower
@@ -208,12 +221,14 @@ def main() -> None:
             paths["fast_front_materials"] = (mstep, mp, mo)
 
         results = {}
+        flags = {}
         entry: dict = {}
         for name, (step, params0, opt0) in paths.items():
             sec, loss, first, marginals = measure(step, params0, opt0,
                                                   target, n1, n2, reps)
             diverged = not (loss == loss) or loss > 3.0 * max(first, 1e-6)
             results[name] = rays / sec
+            flags[name] = diverged
             entry[name] = round(rays / sec, 1)
             entry[name + "_spread_mrays"] = [
                 round(rays / m / 1e6, 2) for m in sorted(marginals)
@@ -236,17 +251,25 @@ def main() -> None:
                 ),
                 flush=True,
             )
-        if "fast" in results and "xla" in results:
-            entry["fast_over_xla"] = round(results["fast"] / results["xla"], 3)
-            print(json.dumps({
-                "metric": f"fast_over_xla_fwd_bwd_speedup_{label}",
-                "value": entry["fast_over_xla"],
-                "unit": "x",
-            }), flush=True)
-        if "fast" in results and "fast_skip" in results:
-            entry["fast_over_skip"] = round(
-                results["fast"] / results["fast_skip"], 3
-            )
+        def ratio(num, den, key):
+            """Record a ratio ONLY from clean rows: the convergence-guard
+            discipline says flagged rows are never quoted, and round 4's
+            artifact broke its own rule by computing fast_over_xla from a
+            doubly-diverged three-sphere row (round-4 VERDICT weak #3)."""
+            if num in results and den in results:
+                if flags[num] or flags[den]:
+                    entry[key + "_suppressed"] = "diverged row"
+                    return
+                entry[key] = round(results[num] / results[den], 3)
+                print(json.dumps({
+                    "metric": f"{key}_fwd_bwd_{label}",
+                    "value": entry[key],
+                    "unit": "x",
+                }), flush=True)
+
+        ratio("fast", "xla", "fast_over_xla")
+        ratio("fast", "fast_skip", "fast_over_skip")
+        ratio("fast_twophase", "fast", "twophase_over_fast")
         artifact["configs"][label] = entry
 
     # Committed artifact for the driver: the second BASELINE metric

@@ -249,8 +249,12 @@ def bvh_front(bvh: FlatBVH, max_nodes: int = 32,
     (megakernel._closest_hit_front), so a near-to-far order lets the first
     words' hits cull the far words' subtrees — the front-to-back traversal
     the reference's ordered BVH intended (src/bvh.h:16-24), decided at
-    build time for zero kernel cost. Exactness is unaffected (culling is
-    against per-lane best-t; order only changes how early it tightens)."""
+    build time for zero kernel cost. Exact up to closest-hit TIE-BREAKING:
+    culling against per-lane best-t can never drop a strictly closer hit,
+    but ordering changes subtree VISIT order, and rays whose two best hits
+    tie to the last f32 ulp can pick the other sphere (measured ~0.07% of
+    cover-scene rays — see megakernel._closest_hit_front, rate pinned by
+    tests/test_tpu_lane.py)."""
     import heapq
 
     miss = np.asarray(bvh.miss_link)

@@ -43,9 +43,9 @@ TRAINABLE = ("center0", "radius", "albedo")
 CAM_KW = dict(vfov=20.0, lookfrom=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0),
               defocus_angle=0.6, focus_dist=10.0)
 CONFIGS = [  # (label, width, spp, depth, n1, n2, groups)
-# groups=1 everywhere: replay_radiance auto-enables dead-bounce cond
-# skipping at deep depth, and death-depth grouping measured slower
-# (FWDBWD_r04 fast_g8 vs fast)
+# groups=1 everywhere: the plain replay scan (no cond skipping — the
+# round-4 measured-best default; skip_dead is explicit opt-in) wins, and
+# death-depth grouping measured slower (FWDBWD_r04 fast_g8 vs fast)
     ("cover_200px_d8", 200, 2, 8, 4, 16, 1),
     ("cover_400px_d50", 400, 2, 50, 4, 16, 1),
 ]

@@ -18,6 +18,7 @@ Emits one JSON object; tools/kprobes.py aggregates it into KPROBES_r*.json.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import jax
@@ -125,7 +126,7 @@ def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
 
         return p
 
-    radiance_fn = make_fast_radiance(scene, depth)  # auto skip_dead
+    radiance_fn = make_fast_radiance(scene, depth)  # plain scan (default)
 
     def p_full(key):
         o, d, t = rays_of(key)
@@ -167,6 +168,123 @@ def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
         ("replay_bwd_skip", make_replay_bwd(1, skip=True), replay_ops),
         (f"replay_bwd_g{GROUPS}", make_replay_bwd(GROUPS), replay_ops),
     ]
+
+    extra = set(
+        t for t in os.environ.get("KGRAD_EXTRA", "").split(",") if t
+    )
+    if "bisect" in extra:
+        # round-5 missing #2: bisect the front+record collapse (record_front
+        # 78 ms vs fwd_front 27 ms at d50 while record_brute ~= fwd_brute).
+        # Each variant drops part of the recording; the one that recovers
+        # fwd_front speed names the culprit.
+        def rec_probe(sc, fr, mask, consume_code):
+            def p(key):
+                o, d, t = rays_of(key)
+                seed = jax.random.randint(key, (), 0, 2**31 - 1,
+                                          dtype=jnp.int32)
+                rad, res = pallas_trace_record(o, d, t, sc, seed, depth,
+                                               front=fr, res_mask=mask)
+                acc = rad.sum()
+                if consume_code:
+                    acc = acc + res.idx.sum()
+                if mask[1]:
+                    acc = acc + res.ndir[..., 0].sum()
+                return acc
+
+            return p
+
+        probes += [
+            ("record_front_code_only",
+             rec_probe(rscene, front, (True, False, False, False), True), ()),
+            ("record_front_dirs_only",
+             rec_probe(rscene, front, (False, True, True, True), False), ()),
+            ("record_brute_code_only",
+             rec_probe(scene, None, (True, False, False, False), True), ()),
+        ]
+        front_rp1 = front_tables(rscene, bvh, order_point=(13.0, 2.0, 3.0),
+                                 repack=1)
+        probes.append((
+            "record_front_rp1",
+            rec_probe(rscene, front_rp1, (True, True, True, True), True), (),
+        ))
+
+    if "twophase" in extra:
+        from raytracingproject_tpu.grad.fast import make_fast_radiance_twophase
+        from raytracingproject_tpu.grad.replay import replay_radiance_twophase
+        from raytracingproject_tpu.ops.pallas.megakernel import (
+            pallas_trace_paths_twophase, pallas_trace_record_twophase,
+        )
+
+        CUT = 4
+
+        def p_fwd_two(key):
+            o, d, t = rays_of(key)
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+            return pallas_trace_paths_twophase(o, d, t, scene, seed, depth,
+                                               cuts=(CUT,))
+
+        def p_fwd_two_front(key):
+            o, d, t = rays_of(key)
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+            return pallas_trace_paths_twophase(o, d, t, rscene, seed, depth,
+                                               cuts=(CUT,), front=front)
+
+        def p_rec_two(key):
+            o, d, t = rays_of(key)
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+            rad, r1, r2, _, _, _ = pallas_trace_record_twophase(
+                o, d, t, scene, seed, depth, cut=CUT)
+            return rad.sum() + r1.ndir.sum() + r2.idx.sum()
+
+        def p_rec_two_front(key):
+            o, d, t = rays_of(key)
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+            rad, r1, r2, _, _, _ = pallas_trace_record_twophase(
+                o, d, t, rscene, seed, depth, cut=CUT, front=front)
+            return rad.sum() + r1.ndir.sum() + r2.idx.sum()
+
+        # isolated two-phase backward on fixed residuals (cap 25%)
+        _, tr1, tr2, tsrc, tdest, tna = pallas_trace_record_twophase(
+            o0, d0, t0, scene, jnp.int32(123), depth, cut=CUT)
+        two_ops = (tr1.idx, tr1.ndir, tr1.refl, tr2.idx, tr2.ndir, tr2.refl,
+                   tsrc, tdest, tna, o0, d0, t0)
+        cap = max(1, int(round(tr1.idx.shape[1] * 0.25)))
+
+        def p_replay_two(key, i1, n1_, f1, i2, n2_, f2, srcx, destx, nax,
+                         o_, d_, t_):
+            res1 = PathResiduals(idx=i1, ndir=n1_, refl=f1)
+            res2 = PathResiduals(idx=i2, ndir=n2_, refl=f2)
+
+            def loss(p_):
+                rad = replay_radiance_twophase(
+                    p_, scene, o_, d_, t_, res1, res2, srcx, destx, nax,
+                    cap_rays=cap)
+                return jnp.mean(rad * jax.random.uniform(key, rad.shape))
+
+            l, g = jax.value_and_grad(loss)(params)
+            return l + sum(jnp.sum(v) for v in jax.tree.leaves(g))
+
+        two_fn = make_fast_radiance_twophase(scene, depth, cut=CUT,
+                                             cap_frac=0.25)
+
+        def p_full_two(key):
+            o, d, t = rays_of(key)
+            seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.float32)
+
+            def loss(p_):
+                return jnp.mean(two_fn(p_, o, d, t, seed))
+
+            l, g = jax.value_and_grad(loss)(params)
+            return l + sum(jnp.sum(v) for v in jax.tree.leaves(g))
+
+        probes += [
+            ("fwd_twophase", p_fwd_two, ()),
+            ("fwd_twophase_front", p_fwd_two_front, ()),
+            ("record_twophase", p_rec_two, ()),
+            ("record_twophase_front", p_rec_two_front, ()),
+            ("replay_bwd_twophase", p_replay_two, two_ops),
+            ("full_twophase", p_full_two, ()),
+        ]
     if depth <= 16:
         # at depth 50 the K-pass measurement scan stacks each pass's
         # hoisted gather buffer (~4.3 GB at 400px) past HBM; the full

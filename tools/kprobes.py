@@ -49,6 +49,8 @@ def main() -> None:
 
         from tools import kgrad
 
+        # round-5 probe sets: two-phase pipeline + record-collapse bisection
+        os.environ.setdefault("KGRAD_EXTRA", "twophase,bisect")
         for key, args in (("kgrad_d8", (200, 2, 8)),
                           ("kgrad_d50", (400, 2, 50)),
                           ("kgrad_d50_flagship", (1200, 1, 50))):

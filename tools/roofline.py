@@ -106,6 +106,66 @@ def measure_vpu_peak(tiles: int = 512) -> float:
     return fmas / sec
 
 
+def measure_mixed_peak(n_spheres: int = 488, tiles: int = 64) -> float:
+    """Sphere-tests/s of the ISOLATED brute closest-hit loop — the
+    mixed-issue peak for the intersection op mix (round-4 VERDICT missing
+    #4: the pure-FMA peak undershot the mix's co-issue rate by ~2.5x and
+    made the artifact flag itself).
+
+    This is not a synthetic replica: it IS `_closest_hit_brute` (13 scalar
+    SMEM loads + 54 VPU slots of fma/cmp/select/min/sqrt per sphere, x8
+    unrolled) run once per grid step on a padded table, with the hit state
+    reduced into the output. Anything the full forward does per sphere,
+    this does; measured back-to-back with the workload, it is the
+    achievable ceiling the forward's utilization is honestly measured
+    against."""
+    from raytracingproject_tpu.ops.pallas.megakernel import (
+        N_ROWS, UNROLL, _closest_hit_brute,
+    )
+
+    n_pad = ((n_spheres + UNROLL - 1) // UNROLL) * UNROLL
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    tab = np.zeros((N_ROWS, n_pad), np.float32)
+    tab[0:3] = rng.uniform(-8, 8, (3, n_pad))   # centers
+    tab[6] = rng.uniform(0.1, 0.4, n_pad)       # radii
+    tab[7:13] = rng.uniform(0.0, 1.0, (6, n_pad))
+    tab_j = jnp.asarray(tab)
+
+    def kernel(sph_ref, ox_ref, o_ref):
+        ox = ox_ref[:]
+        oy = ox * 0.5 + 2.0
+        oz = ox * 0.25 + 3.0
+        dx = ox * 1e-3 - 0.9
+        dy = ox * 1e-3 - 0.1
+        dz = ox * 1e-3 - 0.3
+        tm = ox * 0.0
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        rays = (ox, oy, oz, dx, dy, dz, tm, a, inv_a)
+        hc = _closest_hit_brute(sph_ref, rays, 1e-3, n_pad, (SUB, LANES))
+        o_ref[:] = hc[0] + hc[6] + hc[11]  # consume best-t + attrs + winner
+
+    spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((N_ROWS, n_pad), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
+    call = pl.pallas_call(
+        kernel, grid=(tiles,), in_specs=[smem, spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((tiles * SUB, LANES), jnp.float32),
+    )
+    x = jnp.linspace(10.0, 14.0, tiles * SUB * LANES, dtype=jnp.float32)
+    x = x.reshape(tiles * SUB, LANES)
+
+    def one_pass(key):
+        return call(tab_j, x * jax.random.uniform(key, (), minval=0.99,
+                                                  maxval=1.01))
+
+    sec, _ = marginal_seconds_per_pass(one_pass, k1=8, k2=24, reps=5)
+    return tiles * SUB * LANES * n_pad / sec  # lane-sphere tests per second
+
+
 def main() -> None:
     out: dict = {"ops_per_sphere_test": OPS_PER_SPHERE_TEST,
                  "ops_per_bounce_shade": OPS_PER_BOUNCE_SHADE}
@@ -115,6 +175,15 @@ def main() -> None:
     out["vpu_peak_f32_tflops"] = round(2 * peak / 1e12, 3)
     print(json.dumps({"vpu_peak_f32_tflops": out["vpu_peak_f32_tflops"]}),
           flush=True)
+
+    mixed = measure_mixed_peak()
+    out["mixed_peak_sphere_tests_per_sec"] = round(mixed, -6)
+    out["mixed_peak_op_slots_per_sec"] = round(mixed * OPS_PER_SPHERE_TEST, -9)
+    out["mixed_over_fma_peak"] = round(mixed * OPS_PER_SPHERE_TEST / peak, 3)
+    print(json.dumps({
+        "mixed_peak_sphere_tests_per_sec": out["mixed_peak_sphere_tests_per_sec"],
+        "mixed_over_fma_peak": out["mixed_over_fma_peak"],
+    }), flush=True)
 
     scene = make_cover_scene(seed=0)
     n = int(scene.radius.shape[0])
@@ -154,29 +223,30 @@ def main() -> None:
 
     sec, _ = marginal_seconds_per_pass(fwd_depth1, k1=4, k2=12, reps=5)
     rps = rays / sec
-    ops = rps * (n * OPS_PER_SPHERE_TEST + OPS_PER_BOUNCE_SHADE)
-    if ops > 2.2 * peak:
-        # an fma occupies >= half the VPU's ALUs, so > ~2.2x the measured
-        # FMA rate exceeds any plausible co-issue — a timing artifact on
-        # the shared chip (batch 4 recorded 3.2x once); flag, don't quote
-        out["implausible_closest_hit"] = (
-            f"{ops:.3g} ops/s > 2.2x FMA peak; treat this run's "
-            "closest-hit ratios as a timing artifact"
-        )
+    tests = rps * n
     out["closest_hit_mrays_s"] = round(rps / 1e6, 2)
-    out["closest_hit_ops_per_sec"] = round(ops, -9)
-    out["closest_hit_vs_fma_peak"] = round(ops / peak, 4)
-    # Round-4 measurement: the depth-1 scan sustains ~3.8e12 op-slots/s
-    # against a ~1.9e12 pure-FMA chain — the VPU co-issues the scan's
-    # cmp/select/min mix across more ALUs than an fma-only stream can use,
-    # so a ratio > 1 vs the FMA peak is real co-issue, not an error. The
-    # meaningful utilization for the RENDERER is therefore measured
-    # against the isolated closest-hit rate itself (below): how much of
-    # the chip's demonstrated intersection throughput the full path keeps.
+    out["closest_hit_tests_per_sec"] = round(tests, -6)
+    out["closest_hit_vs_mixed_peak"] = round(tests / mixed, 4)
+    out["closest_hit_vs_fma_peak"] = round(
+        rps * (n * OPS_PER_SPHERE_TEST + OPS_PER_BOUNCE_SHADE) / peak, 4
+    )
+    # CONSISTENCY GATE (round-4 VERDICT missing #4): the depth-1 forward
+    # does strictly more work per sphere-test than the isolated scan
+    # (ray gen, shade, pallas plumbing), so measuring it FASTER than the
+    # mixed peak is a timing artifact — fail the artifact instead of
+    # publishing numbers no utilization claim can stand on.
+    if tests > 1.05 * mixed:
+        raise RuntimeError(
+            f"closest-hit probe measured {tests:.3g} tests/s > mixed peak "
+            f"{mixed:.3g} (back-to-back, same methodology): timing is "
+            "broken this session; refusing to write ROOFLINE"
+        )
     print(json.dumps({"closest_hit_mrays_s": out["closest_hit_mrays_s"],
-                      "vs_fma_peak": out["closest_hit_vs_fma_peak"]}),
+                      "vs_mixed_peak": out["closest_hit_vs_mixed_peak"]}),
           flush=True)
-    isolated_tests_per_sec = rps * n
+    # utilization anchor: the mixed-issue peak (the chip's demonstrated
+    # intersection throughput), not the FMA peak and not this probe
+    isolated_tests_per_sec = mixed
 
     # full forward (depth 16, brute): per-ray ops = mean_bounces * (N*54 +
     # shade). Tile early exit means dead bounces are mostly unpaid, which
@@ -225,6 +295,55 @@ def main() -> None:
         "record_brute_mrays_s": out["record_brute_mrays_s"],
         "intersect_util_paid": out["record_brute_intersect_util_paid"],
         "intersect_util_useful": out["record_brute_intersect_util_useful"],
+    }), flush=True)
+
+    # ---- two-phase (death-coherent) accounting: round-5 missing #1 ----
+    # What the two-phase pipeline PAYS, from the same recorded death
+    # depths: every tile pays `cut` bounces in phase 1; after the
+    # alive-first pack, a phase-2 tile pays the max residual depth of its
+    # packed rays (all-dead tiles exit at ~zero cost via the while-exit).
+    from raytracingproject_tpu.ops.pallas.megakernel import (
+        pallas_trace_paths_twophase,
+    )
+
+    CUT = 4
+    import numpy as np
+
+    b_np = np.zeros((r_pad,), np.int64)
+    b_np[: bounces.shape[0]] = np.asarray(bounces)
+    alive2 = b_np > CUT
+    resid = np.where(alive2, b_np - CUT, 0)
+    packed = np.concatenate([resid[alive2], resid[~alive2]])
+    tile_max2 = packed.reshape(-1, 1024).max(axis=1)
+    # mean paid bounces per tile = prefix cost + packed residual tile-maxes
+    # amortized over all tiles (dead tiles' residual max is 0)
+    paid2 = float(CUT + tile_max2.sum() / (r_pad / 1024))
+    out["twophase_cut"] = CUT
+    out["twophase_survivor_frac"] = round(float(alive2.mean()), 4)
+    out["twophase_paid_bounces_per_tile"] = round(paid2, 3)
+    out["twophase_paid_over_mean"] = round(paid2 / mean_bounces, 3)
+    out["monolithic_paid_over_mean"] = round(tile_bounces / mean_bounces, 3)
+
+    def fwd_two(key):
+        o, d, t = generate_rays(cam, i_idx, j_idx, key)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        return pallas_trace_paths_twophase(o, d, t, scene, seed, DEPTH,
+                                           cuts=(CUT,))
+
+    sec, _ = marginal_seconds_per_pass(fwd_two, k1=4, k2=12, reps=3)
+    rps2 = rays / sec
+    out["forward_twophase_brute_mrays_s"] = round(rps2 / 1e6, 2)
+    out["forward_twophase_intersect_util_paid"] = round(
+        rps2 * paid2 * n / isolated_tests_per_sec, 4
+    )
+    out["forward_twophase_intersect_util_useful"] = round(
+        rps2 * mean_bounces * n / isolated_tests_per_sec, 4
+    )
+    print(json.dumps({
+        "forward_twophase_brute_mrays_s": out["forward_twophase_brute_mrays_s"],
+        "twophase_paid_over_mean": out["twophase_paid_over_mean"],
+        "monolithic_paid_over_mean": out["monolithic_paid_over_mean"],
+        "intersect_util_useful": out["forward_twophase_intersect_util_useful"],
     }), flush=True)
 
     from tools.artifact import artifact_path
