@@ -89,6 +89,13 @@ def main() -> None:
         front = front_tables(scene, bvh, order_point=camera.lookfrom,
                              repack=int(rp) if rp else None)
 
+    # BENCH_TWOPHASE sweeps the death-coherent two-phase cut depth (0 =
+    # monolithic) without editing the file; the device batch sweeps it and
+    # the winner is baked here.
+    import os
+
+    two_phase = int(os.environ.get("BENCH_TWOPHASE", "0")) if on_tpu else 0
+
     def one_pass(key):
         # raw_slots: slot-space radiance, as render() accumulates per chunk
         # (the [spp, H*W] unpermute happens once per FRAME — excluding it
@@ -104,6 +111,7 @@ def main() -> None:
             front=front,
             early_exit=not on_tpu,
             use_megakernel=on_tpu,
+            two_phase=two_phase,
             raw_slots=on_tpu,
         )
 
@@ -124,7 +132,7 @@ def main() -> None:
             return render_pass(
                 scene, cam, key, width=WIDTH, height=HEIGHT,
                 max_depth=MAX_DEPTH, spp_chunk=SPP_CHUNK, front=front,
-                use_megakernel=True, raw_slots=False,
+                use_megakernel=True, two_phase=two_phase, raw_slots=False,
             )
 
         sec_frame, _ = marginal_seconds_per_pass(one_frame, k1=4, k2=12, reps=3)

@@ -75,3 +75,9 @@ class RenderSettings:
     # the TPU worker. Kept as a tested, opt-in alternative; default OFF
     # (None = 0 = one monolithic kernel, the measured winner at every depth).
     depth_segment: int | None = None
+    # Death-coherent two-phase tracing (megakernel.pallas_trace_paths_
+    # twophase): trace bounces [0, two_phase) for the whole frame, compact
+    # alive rays ONCE (cumsum-gather, no device sort), trace the tail on
+    # packed survivor tiles. Cuts the tile-granularity early-exit waste the
+    # segmented design paid 11x too much for. None/0 = monolithic.
+    two_phase: int | None = None

@@ -230,7 +230,7 @@ def _block_order(width: int, height: int, spp: int = 1, tile: int = 1024):
     jax.jit,
     static_argnames=(
         "width", "height", "max_depth", "spp_chunk", "early_exit", "use_pallas",
-        "use_megakernel", "depth_segment", "raw_slots",
+        "use_megakernel", "depth_segment", "two_phase", "raw_slots",
     ),
 )
 def render_pass(
@@ -248,6 +248,7 @@ def render_pass(
     use_pallas: bool = False,
     use_megakernel: bool = False,
     depth_segment: int = 0,
+    two_phase: int = 0,
     sky_tex: jnp.ndarray | None = None,
     raw_slots: bool = False,
 ) -> jnp.ndarray:
@@ -311,6 +312,20 @@ def render_pass(
             out = pallas_trace_paths_segmented(
                 origin, direction, time, scene, seed, max_depth,
                 seg_len=depth_segment, front=front, record_miss=record_miss,
+            )
+        elif two_phase and max_depth > two_phase and bvh is None:
+            # Death-coherent two-phase trace: short full-frame prefix, one
+            # alive-first compaction, packed depth tail (cuts the
+            # tile-granularity early-exit waste; megakernel docstring).
+            # brute/front closest hits only (the tile-uniform bvh path has
+            # no segment kernel and is not the production config).
+            from raytracingproject_tpu.ops.pallas.megakernel import (
+                pallas_trace_paths_twophase,
+            )
+
+            out = pallas_trace_paths_twophase(
+                origin, direction, time, scene, seed, max_depth,
+                cuts=(two_phase,), front=front, record_miss=record_miss,
             )
         else:
             out = pallas_trace_paths(
@@ -449,6 +464,7 @@ def render(
             use_pallas=settings.use_pallas,
             use_megakernel=use_megakernel,
             depth_segment=depth_segment,
+            two_phase=settings.two_phase or 0,
             sky_tex=sky_texture,
             raw_slots=raw,
         )

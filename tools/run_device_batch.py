@@ -57,42 +57,11 @@ def run_tpu_lane():
 
 @phase("verify_drive")
 def run_verify_drive():
-    """The /verify skill's drive: real-chip render_image + session smoke
-    + misuse probe."""
-    import numpy as np
-    import jax
-    import raytracingproject_tpu as rt
+    """The /verify skill's drive (round-5 version): real-chip render_image
+    + session smoke + misuse probe + two-phase parity/replay gates."""
+    from tools import verify_drive_r5
 
-    scene = rt.scene.make_three_sphere_scene()
-    cam = rt.Camera(aspect_ratio=16 / 9, image_width=400, samples_per_pixel=8,
-                    max_depth=8, vfov=90.0, lookfrom=(0, 0, 0),
-                    lookat=(0, 0, -1))
-    img = np.asarray(rt.render_image(scene, cam, jax.random.PRNGKey(0)))
-    assert img.shape == (225, 400, 3), img.shape
-    tl = img[:10, :10].mean(axis=(0, 1))
-    print(json.dumps({"verify_render_shape": list(img.shape),
-                      "verify_mean": round(float(img.mean()), 1),
-                      "verify_topleft": [round(float(v), 1) for v in tl]}),
-          flush=True)
-    assert 180 < tl[0] < 230 and tl[2] > 240, tl  # sky gradient top-left
-
-    from raytracingproject_tpu.utils.ppm import write_ppm
-
-    write_ppm(img, "/tmp/device_batch_verify.ppm")
-
-    from raytracingproject_tpu.config import RenderSettings
-    from raytracingproject_tpu.session import RendererSession, SessionError
-
-    s = RendererSession(RenderSettings(width=64, height=48))
-    try:  # misuse probe: draw before init must raise SessionError
-        s.draw_frame()
-        raise AssertionError("draw_frame before init did not raise")
-    except SessionError:
-        pass
-    s.init()
-    s.load_preconfigured_shapes()
-    s.start_interactive_loop(duration_ms=120000, max_frames=3)
-    print(json.dumps({"verify_session_frames": 3}), flush=True)
+    verify_drive_r5.main()
 
 
 @phase("bench_grad")
@@ -168,6 +137,23 @@ def run_headline_sweep():
         print(json.dumps({"headline_repack": int(rp)}), flush=True)
         bench.main()
     os.environ.pop("BENCH_REPACK", None)
+
+
+@phase("twophase_sweep")
+def run_twophase_sweep():
+    """Headline config across two-phase cut depths (0 = monolithic)."""
+    import bench
+
+    for tp in ("0", "2", "3", "4", "6"):
+        os.environ["BENCH_TWOPHASE"] = tp
+        print(json.dumps({"headline_twophase_cut": int(tp)}), flush=True)
+        try:
+            bench.main()
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+    os.environ.pop("BENCH_TWOPHASE", None)
 
 
 def main() -> None:
