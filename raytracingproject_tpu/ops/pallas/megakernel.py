@@ -326,7 +326,9 @@ def _pack_any_bits(slab, n: int, base=0):
 
 
 def _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref,
-                       live_ref, rays, t_min, n_front, shape, repack=1):
+                       live_ref, rays, t_min, n_front, shape, repack=1,
+                       bf_ref=None, liveb_ref=None, ksub=0,
+                       word_earlyout=False):
     """Hierarchical front-culled closest hit: >= ONE scalar sync per
     bounce, at most one per 24 live subtrees — kernel code size O(1) in the
     front size.
@@ -467,11 +469,55 @@ def _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref,
                         h4 = _sphere_test(sph_ref, base_s + u, rays, h4, t_min)
                     return h4
 
-                return jax.lax.fori_loop(0, cnt // UNROLL, inner, hhh)
+                if bf_ref is None:
+                    return jax.lax.fori_loop(0, cnt // UNROLL, inner, hhh)
+
+                # SUB-BLOCK DESCENT (round-5 missing #5): one more culling
+                # level INSIDE the live subtree — slab-test its 8-sphere
+                # sub-block boxes (column j of bf_ref bounds padded sphere
+                # columns [8j, 8j+8); starts are UNROLL-aligned so the
+                # subtree's blocks are start//8 .. start//8 + cnt//8), pack
+                # the any-bits (ONE extra sync per live subtree), and scan
+                # only the live blocks. Bits past cnt//8 belong to the NEXT
+                # subtree's boxes and are ignored by the extract bound.
+                # Profitable when subtrees are large (the front is built
+                # with FEWER, BIGGER subtrees when descent is on).
+                slab_b = _slab_factory(bf_ref, rays, t_min, bt=hhh[0])
+                bword = _pack_any_bits(slab_b, ksub, base=start // UNROLL)
+
+                def ext(k, c3):
+                    bit = jax.lax.shift_right_logical(bword, k) & 1
+
+                    @pl.when(bit > 0)
+                    def _():
+                        liveb_ref[0, c3] = start + k * UNROLL
+
+                    return c3 + bit
+
+                n_blk = jax.lax.fori_loop(0, cnt // UNROLL, ext, jnp.int32(0))
+
+                def blk_body(q, h4):
+                    base_s = liveb_ref[0, q]
+                    for u in range(UNROLL):
+                        h4 = _sphere_test(sph_ref, base_s + u, rays, h4, t_min)
+                    return h4
+
+                return jax.lax.fori_loop(0, n_blk, blk_body, hhh)
 
             return jax.lax.fori_loop(0, n_live, live_body, hh)
 
-        return jax.lax.fori_loop(0, repack, chunk_body, h)
+        chunks = lambda hh: jax.lax.fori_loop(0, repack, chunk_body, hh)
+        if not word_earlyout:
+            return chunks(h)
+        # PER-WORD EARLY-OUT (round-5 missing #5): one union-box slab test
+        # against the best-t carried from earlier words skips the whole
+        # word (its chunk packs + extraction) when every lane's best hit is
+        # already nearer — with distance-ordered fronts, far words die this
+        # way after the first surfaces are found. Cost: one slab column +
+        # one sync per live word.
+        slab_wbt = _slab_factory(wf_ref, rays, t_min, bt=h[0])
+        still = jnp.max(slab_wbt(w)) > 0.0
+        return jax.lax.cond(still, chunks, lambda hh: hh, h)
 
     return jax.lax.fori_loop(0, n_live_w, word_body, hc)
 
@@ -807,18 +853,29 @@ def _megakernel_front(
     fi_ref,    # SMEM (2, F) int32 (start, padded count)
     wf_ref,    # SMEM (8, Wp) float32 word-level union boxes
     sf_ref,    # SMEM (8, S) float32 super-word union boxes
-    *rest,     # 7 ray planes, 3 (+6 miss) outs, then the 2 SMEM scratches
+    *rest,     # [bf_ref] 7 ray planes, 3 (+6 miss) outs, then the SMEM
+    #            scratches (livew, live[, liveb])
     n_front: int, max_depth: int, t_min: float, inject_bug=None,
-    record_miss: bool = False, repack: int = 1,
+    record_miss: bool = False, repack: int = 1, ksub: int = 0,
+    word_earlyout: bool = False,
 ):
+    if ksub:
+        bf_ref, *rest = rest
+        livew_ref, live_ref, liveb_ref = rest[-3:]
+        tail = rest[7:-3]
+    else:
+        bf_ref, liveb_ref = None, None
+        livew_ref, live_ref = rest[-2:]
+        tail = rest[7:-2]
     ray_refs = rest[:7]
-    livew_ref, live_ref = rest[-2:]
-    (rr_ref, rg_ref, rb_ref), miss_refs = _split_outs(rest[7:-2], record_miss)
+    (rr_ref, rg_ref, rb_ref), miss_refs = _split_outs(tail, record_miss)
 
     def hit(rays, shape):
         return _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref,
                                   livew_ref, live_ref, rays, t_min, n_front,
-                                  shape, repack=repack)
+                                  shape, repack=repack, bf_ref=bf_ref,
+                                  liveb_ref=liveb_ref, ksub=ksub,
+                                  word_earlyout=word_earlyout)
 
     _bounce_loop(seed_ref, hit, *ray_refs, rr_ref, rg_ref, rb_ref,
                  max_depth=max_depth, t_min=t_min, inject_bug=inject_bug,
@@ -831,7 +888,9 @@ class FrontTables:
 
     def __init__(self, sph: jnp.ndarray, ff: jnp.ndarray, fi: jnp.ndarray,
                  wf: jnp.ndarray, sf: jnp.ndarray,
-                 remap: jnp.ndarray | None = None, repack: int = 1):
+                 remap: jnp.ndarray | None = None, repack: int = 1,
+                 bf: jnp.ndarray | None = None, ksub: int = 0,
+                 word_earlyout: bool = False):
         self.sph = sph  # (N_ROWS, Np) front-padded sphere table
         self.ff = ff    # (8, F) f32 subtree boxes
         self.fi = fi    # (2, F) i32 (start, count)
@@ -845,14 +904,23 @@ class FrontTables:
         # static: intra-word best-t re-pack count (see _closest_hit_front);
         # pytree AUX data, so it keys the jit cache like any static arg.
         self.repack = repack
+        # sub-block descent (round-5 missing #5): (8, Np/UNROLL) boxes, one
+        # per 8 consecutive padded sphere columns; ksub = max sub-blocks in
+        # any subtree (static pack width). None = no descent.
+        self.bf = bf
+        self.ksub = ksub
+        # per-word best-t early-out before the word's chunk packs
+        self.word_earlyout = word_earlyout
 
     def tree_flatten(self):
-        return (self.sph, self.ff, self.fi, self.wf, self.sf, self.remap), \
-            self.repack
+        return (self.sph, self.ff, self.fi, self.wf, self.sf, self.remap,
+                self.bf), (self.repack, self.ksub, self.word_earlyout)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, repack=aux or 1)
+        repack, ksub, weo = aux
+        *core, bf = leaves
+        return cls(*core, repack=repack, bf=bf, ksub=ksub, word_earlyout=weo)
 
 
 jax.tree_util.register_pytree_node(
@@ -886,7 +954,9 @@ def default_front_nodes(n_spheres: int) -> int:
 
 
 def front_tables(scene: Scene, bvh, max_nodes: int | None = None,
-                 order_point=None, repack: int | None = None) -> FrontTables:
+                 order_point=None, repack: int | None = None,
+                 sub_block: bool = False,
+                 word_earlyout: bool = False) -> FrontTables:
     """Build the front-culling tables. `scene` MUST already be permuted to
     BVH leaf order (bvh.reorder_scene); `bvh` is its FlatBVH.
 
@@ -966,9 +1036,33 @@ def front_tables(scene: Scene, bvh, max_nodes: int | None = None,
             sf[0:3, sw] = wf[0:3, sl][:, real].min(axis=1)
             sf[3:6, sw] = wf[3:6, sl][:, real].max(axis=1)
             sf[6:8, sw] = 0.0
+    bf = None
+    ksub = 0
+    if sub_block:
+        # one box per UNROLL consecutive PADDED columns (starts are
+        # UNROLL-aligned, so sub-block j of subtree k is a plain column
+        # range of bf); padding repeats of the last sphere only tighten
+        # nothing — the union stays exact
+        c0c = sph_pad[0:3]
+        c1c = c0c + sph_pad[3:6]
+        rc = np.abs(sph_pad[6])
+        bmin = np.minimum(c0c, c1c) - rc
+        bmax = np.maximum(c0c, c1c) + rc
+        nblk = sph_pad.shape[1] // UNROLL
+        ksub = int(new_count.max() // UNROLL)
+        assert ksub <= 31, f"subtree of {ksub * UNROLL} spheres: pack word overflow"
+        # pad ksub degenerate columns: the pack is a STATIC ksub boxes from
+        # each subtree's first block, so the last subtree's pack reads past
+        # the real table; 1e30 boxes never set a bit
+        bf = np.zeros((8, nblk + ksub), np.float32)
+        bf[0:6] = 1e30
+        bf[0:3, :nblk] = bmin.reshape(3, nblk, UNROLL).min(axis=2)
+        bf[3:6, :nblk] = bmax.reshape(3, nblk, UNROLL).max(axis=2)
+        bf[6:8, :nblk] = 0.0
     smem_bytes = 4 * (
         sph_pad.size + ff.size + fi.size + wf.size + sf.size
         + n_words_pad + 2 * WORD  # livew + live scratch
+        + (bf.size + 64 if bf is not None else 0)
     )
     if smem_bytes > SMEM_BUDGET_BYTES:
         raise ValueError(
@@ -980,6 +1074,8 @@ def front_tables(scene: Scene, bvh, max_nodes: int | None = None,
     return FrontTables(
         jnp.asarray(sph_pad), jnp.asarray(ff), jnp.asarray(fi),
         jnp.asarray(wf), jnp.asarray(sf), jnp.asarray(remap), repack=repack,
+        bf=None if bf is None else jnp.asarray(bf), ksub=ksub,
+        word_earlyout=word_earlyout,
     )
 
 
@@ -1320,7 +1416,8 @@ def pallas_trace_paths(
         kernel = functools.partial(
             _megakernel_front, n_front=n_front, max_depth=max_depth,
             t_min=t_min, inject_bug=inject_bug, record_miss=record_miss,
-            repack=front.repack,
+            repack=front.repack, ksub=front.ksub,
+            word_earlyout=front.word_earlyout,
         )
         in_specs = [
             smem((1, 1)), smem(front.sph.shape),
@@ -1335,6 +1432,10 @@ def pallas_trace_paths(
             pltpu.SMEM((1, n_front // WORD), jnp.int32),
             pltpu.SMEM((2, WORD), jnp.int32),
         ]
+        if front.ksub:
+            in_specs.append(smem(front.bf.shape))
+            args = args + (front.bf,)
+            scratch_shapes.append(pltpu.SMEM((1, 64), jnp.int32))
     elif bvh is None:
         kernel = functools.partial(
             _megakernel, n_spheres=n, max_depth=max_depth, t_min=t_min,
@@ -1449,6 +1550,7 @@ def pallas_trace_record(
                     sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref,
                     live_ref, rays, t_min, n_front, shape,
                     repack=front.repack,
+                    word_earlyout=front.word_earlyout,
                 )
 
             _bounce_loop(seed_ref, hit, *ray_refs, rr, rg, rb,
@@ -1608,7 +1710,7 @@ def _megakernel_seg_brute(
 def _megakernel_seg_front(
     seed_ref, sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, *rest,
     n_front: int, max_depth: int, t_min: float, record_miss: bool = False,
-    record: bool = False, repack: int = 1,
+    record: bool = False, repack: int = 1, word_earlyout: bool = False,
 ):
     (ray_refs, init_refs, miss_init_refs, state_out, (rr, rg, rb),
      miss_refs, res_refs, scratch) = _seg_plumbing(rest, record_miss, 2,
@@ -1618,7 +1720,8 @@ def _megakernel_seg_front(
     def hit(rays, shape):
         return _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref,
                                   livew_ref, live_ref, rays, t_min, n_front,
-                                  shape, repack=repack)
+                                  shape, repack=repack,
+                                  word_earlyout=word_earlyout)
 
     _bounce_loop(
         seed_ref, hit, *ray_refs, rr, rg, rb,
@@ -1651,6 +1754,7 @@ def _segment_call(planes, scene, seed, depth, t_min, front, interpret,
             _megakernel_seg_front, n_front=n_front, max_depth=depth,
             t_min=t_min, record_miss=record_miss, record=record,
             repack=getattr(front, "repack", 1),
+            word_earlyout=getattr(front, "word_earlyout", False),
         )
         in_specs = [
             smem((1, 1)), smem(front.sph.shape),

@@ -253,6 +253,9 @@ def make_sharded_train_step(
     learning_rate: float = 2e-2,
     trainable: tuple[str, ...] | None = None,
     use_megakernel: bool = False,
+    front=None,
+    two_phase: int | None = None,
+    cap_frac: float = 0.25,
 ):
     """Sharded inverse-rendering step (BASELINE config 5 training path).
 
@@ -260,6 +263,14 @@ def make_sharded_train_step(
     transposes the shard_map so parameter gradients are automatically
     psum-ed across the whole mesh (a ~KB-scale collective — see the module
     docstring and OVERLAP_r02.json). Params/opt state are replicated.
+
+    With `use_megakernel`: `front` (megakernel.FrontTables over `scene`,
+    already in leaf order — FIXED geometry only, same caveat as
+    grad/fast.py) rides replicated into every shard's recording forward;
+    `two_phase` (a cut depth) selects the death-coherent two-phase
+    pipeline (make_fast_radiance_twophase) — compaction and the
+    capacity-bounded replay are shard-local, so the collective structure
+    is unchanged.
 
     Returns (params0, opt_state0, step) with
     step(params, opt_state, key, target_image) ->
@@ -294,9 +305,18 @@ def make_sharded_train_step(
         # with sharding: each ray shard records its own residuals and
         # replays its own backward; the parameter-gradient psum emerges
         # from the shard_map transpose exactly as in the XLA path.
-        from raytracingproject_tpu.grad.fast import make_fast_radiance
+        from raytracingproject_tpu.grad.fast import (
+            make_fast_radiance, make_fast_radiance_twophase,
+        )
 
-        fast_radiance = make_fast_radiance(scene, max_depth, interpret=interpret)
+        if two_phase:
+            fast_radiance = make_fast_radiance_twophase(
+                scene, max_depth, cut=two_phase, cap_frac=cap_frac,
+                front=front, interpret=interpret,
+            )
+        else:
+            fast_radiance = make_fast_radiance(scene, max_depth, front=front,
+                                               interpret=interpret)
 
     @partial(
         shard_map,

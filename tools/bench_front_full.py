@@ -76,31 +76,68 @@ def bench_scene(scene, tag: str, fronts=(None,), unordered_control=False) -> Non
         ROWS.append(row)
         print(json.dumps(row), flush=True)
 
-    variants = [(f, CAM_POS, 1) for f in fronts]
+    # (front_size, order_point, repack, sub_block, word_earlyout, two_phase)
+    variants = [(f, CAM_POS, 1, False, False, 0) for f in fronts]
     # intra-word best-t re-packing on the default front size (the lever
     # that makes distance ordering pay inside a single 24-subtree word)
-    variants += [(fronts[0], CAM_POS, rp) for rp in (2, 3)]
+    variants += [(fronts[0], CAM_POS, rp, False, False, 0) for rp in (2, 3)]
     if unordered_control:
-        variants.append((fronts[0], None, 1))
-    for f, op, rp in variants:
+        variants.append((fronts[0], None, 1, False, False, 0))
+    # round-5 additions: per-word best-t early-out, sub-block descent
+    # (with BIGGER subtrees — fewer words + intra-subtree culling), and the
+    # death-coherent two-phase pipeline composed with the front
+    variants += [
+        (fronts[0], CAM_POS, 2, False, True, 0),
+        (fronts[0], CAM_POS, 2, False, False, 4),
+        (fronts[0], CAM_POS, 2, False, True, 4),
+    ]
+    if n > 1000:
+        big = max(24, (n // 100 // 24) * 24)  # ~100 spheres/subtree
+        mid = max(24, (n // 52 // 24) * 24)   # ~52 spheres/subtree
+        variants += [
+            (big, CAM_POS, 1, True, True, 0),
+            (mid, CAM_POS, 1, True, True, 0),
+            (mid, CAM_POS, 1, True, True, 4),
+        ]
+    seen = set()
+    for f, op, rp, sb, weo, tp in variants:
         fn = default_front_nodes(n) if f is None else f
+        key_v = (fn, op, rp, sb, weo, tp)
+        if key_v in seen:
+            continue
+        seen.add(key_v)
         suffix = "" if op is not None else "_unordered"
         if rp > 1:
             suffix += f"_rp{rp}"
+        if sb:
+            suffix += "_sub"
+        if weo:
+            suffix += "_weo"
+        if tp:
+            suffix += f"_tp{tp}"
         try:
             front = front_tables(rscene, bvh, max_nodes=fn, order_point=op,
-                                 repack=rp)
+                                 repack=rp, sub_block=sb, word_earlyout=weo)
             label = f"front_{fn}{suffix}"
         except ValueError:
+            if sb or weo:
+                continue  # HBM path has no descent tables yet
             front = front_tables_hbm(rscene, bvh, max_nodes=fn, order_point=op)
             label = f"front_hbm_{front.ff.shape[1]}{suffix}"
 
-        def make_front(key, front=front):
+        def make_front(key, front=front, tp=tp):
             return render_pass(rscene, cam, key, width=W, height=H,
                                max_depth=DEPTH, use_megakernel=True,
-                               front=front)
+                               front=front, two_phase=tp)
 
-        sec, _ = marginal_seconds_per_pass(make_front, k1=4, k2=12, reps=3)
+        try:
+            sec, _ = marginal_seconds_per_pass(make_front, k1=4, k2=12, reps=3)
+        except Exception as e:
+            row = {"scene": tag, "n": n, "path": label,
+                   "error": str(e).split("\n")[0][:120]}
+            ROWS.append(row)
+            print(json.dumps(row), flush=True)
+            continue
         fr = rays / sec
         row = {"scene": tag, "n": n, "path": label,
                "mrays_per_s": round(fr / 1e6, 2)}

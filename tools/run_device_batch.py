@@ -75,7 +75,10 @@ def run_bench_grad():
 def run_bench_front():
     from tools import bench_front_full
 
-    _with_argv(["bench_front_full", "0", "5000", "50000"],
+    # 16000 = the largest-N brute anchor that still compiles (round-4
+    # VERDICT weak #6: the 50k brute control was an error row; this pins
+    # the vs_brute curve's tail with a real measurement)
+    _with_argv(["bench_front_full", "0", "5000", "16000", "50000"],
                bench_front_full.main)
 
 
