@@ -224,8 +224,18 @@ def main() -> None:
         flags = {}
         entry: dict = {}
         for name, (step, params0, opt0) in paths.items():
-            sec, loss, first, marginals = measure(step, params0, opt0,
-                                                  target, n1, n2, reps)
+            try:
+                sec, loss, first, marginals = measure(step, params0, opt0,
+                                                      target, n1, n2, reps)
+            except Exception as e:
+                # one path OOMing/failing to compile must not lose the
+                # other rows or the artifact (round-5 batch 1: the
+                # two-phase d50 compile OOM killed the whole phase)
+                entry[name + "_error"] = str(e).split("\n")[0][:140]
+                print(json.dumps({"metric": f"fwd_bwd_{label}_{name}",
+                                  "error": entry[name + "_error"]}),
+                      flush=True)
+                continue
             diverged = not (loss == loss) or loss > 3.0 * max(first, 1e-6)
             results[name] = rays / sec
             flags[name] = diverged

@@ -102,6 +102,24 @@ class PathResiduals(NamedTuple):
     refl: jnp.ndarray   # [D, R] bool — dielectric reflect branch taken
 
 
+class PathResidualsP(NamedTuple):
+    """PathResiduals with the direction held as three [D, R] PLANES.
+
+    The stacked [D, R, 3] form forces XLA to tile the size-3 axis into the
+    128-lane minor dimension when it becomes a saved custom-vjp residual or
+    a cond branch operand — a 42.7x padding expansion that put four 3.95 GB
+    copies in the two-phase backward at depth 50 (compile OOM, round-5
+    batch 1). Separate planes tile as (depth-sublane, ray-lane) with ~zero
+    padding. Used by the two-phase record/replay pair.
+    """
+
+    idx: jnp.ndarray    # [D, R] int32 — hit sphere / MISS / DEAD
+    ndx: jnp.ndarray    # [D, R] float — scattered direction components
+    ndy: jnp.ndarray
+    ndz: jnp.ndarray
+    refl: jnp.ndarray   # [D, R] bool — dielectric reflect branch taken
+
+
 def xla_trace_record(
     scene: Scene,
     origin: jnp.ndarray,
@@ -174,6 +192,10 @@ def _make_live_step(table, gather_rows):
     def _live_step(time, carry, r):
         o, d, thr, L = carry
         idx, ndir, refl = r
+        if isinstance(ndir, tuple):
+            # planar residuals (PathResidualsP): stack per step — fused
+            # into the step's elementwise ops, never materialized [D, R, 3]
+            ndir = jnp.stack(ndir, axis=-1)
         hit = idx >= 0
         miss = idx == MISS
         i = jnp.maximum(idx, 0)
@@ -249,11 +271,11 @@ def replay_radiance_twophase(
     origin: jnp.ndarray,     # [R, 3]
     direction: jnp.ndarray,  # [R, 3]
     time: jnp.ndarray,       # [R]
-    res1: PathResiduals,     # [cut, Rp] — original ray order
-    res2: PathResiduals,     # [D - cut, Rp] — PACKED order (alive-first)
-    src: jnp.ndarray,        # [Rp] int32 packing permutation
-    dest: jnp.ndarray,       # [Rp] int32 inverse permutation
-    n_alive: jnp.ndarray,    # scalar int32 — survivors after the cut
+    res1: PathResidualsP,    # [cut, Rp] — original ray order
+    res2: PathResidualsP,    # [D - cut, Rp] — PACKED order (alive-first)
+    src: jnp.ndarray,        # [Rp/128] int32 row packing permutation
+    dest: jnp.ndarray,       # [Rp/128] int32 inverse row permutation
+    n_alive: jnp.ndarray,    # scalar int32 — surviving ROWS after the cut
     cap_rays: int | None = None,
 ) -> jnp.ndarray:
     """Differentiable replay of a TWO-PHASE recording
@@ -272,6 +294,10 @@ def replay_radiance_twophase(
     ALWAYS exact; capacity only bounds the fast path. Default capacity:
     half the padded ray count (set cap_rays explicitly to tune; the
     survivor fraction after cut=4 on the cover scene measures ~10-20%)."""
+    from raytracingproject_tpu.ops.pallas.megakernel import (
+        LANES, _take_ray_rows,
+    )
+
     sgi = jax.lax.stop_gradient
     scene_p = apply_params(scene, params)
     n_spheres = scene.radius.shape[0]
@@ -281,7 +307,10 @@ def replay_radiance_twophase(
     Rp = res1.idx.shape[1]
     if cap_rays is None:
         cap_rays = Rp // 2
-    cap_rays = min(max(int(cap_rays), 1), Rp)
+    # row-align the capacity (packing/permutation are 128-ray-row granular)
+    cap_rays = min(max(int(cap_rays), LANES), Rp)
+    cap_rays = ((cap_rays + LANES - 1) // LANES) * LANES
+    cap_rows = cap_rays // LANES
 
     def pad_rows(x, fill=0.0):
         if Rp == R:
@@ -299,46 +328,48 @@ def replay_radiance_twophase(
     init = (o0, d0, jnp.ones((Rp, 3), dtype), jnp.zeros((Rp, 3), dtype))
     body1 = lambda c, r: (step1(tm, c, r), None)
     carry1, _ = jax.lax.scan(
-        jax.checkpoint(body1), init, (res1.idx, res1.ndir, res1.refl)
+        jax.checkpoint(body1), init,
+        (res1.idx, (res1.ndx, res1.ndy, res1.ndz), res1.refl),
     )
 
     src = sgi(src)
     dest = sgi(dest)
-    o_p, d_p, thr_p, L_p = (jnp.take(x, src, axis=0) for x in carry1)
-    tm_p = jnp.take(tm, src)
+    o_p, d_p, thr_p, L_p = (_take_ray_rows(x, src) for x in carry1)
+    tm_p = _take_ray_rows(tm, src)
 
     gather2 = _make_gather_rows(n_spheres, onehot_fwd=res2.idx.shape[0] > 16)
     step2 = _make_live_step(table, gather2)
 
-    def scan2(o, d, thr, L, tmx, idx, ndir, refl):
+    def scan2(o, d, thr, L, tmx, r2):
         body2 = lambda c, r: (step2(tmx, c, r), None)
+        xs = (r2.idx, (r2.ndx, r2.ndy, r2.ndz), r2.refl)
         (_, _, _, L_out), _ = jax.lax.scan(
-            jax.checkpoint(body2), (o, d, thr, L), (idx, ndir, refl)
+            jax.checkpoint(body2), (o, d, thr, L), xs
         )
         return L_out
 
     if cap_rays == Rp:
-        L_packed = scan2(o_p, d_p, thr_p, L_p, tm_p,
-                         res2.idx, res2.ndir, res2.refl)
+        L_packed = scan2(o_p, d_p, thr_p, L_p, tm_p, res2)
     else:
+        res2_cap = PathResidualsP(*(p[:, :cap_rays] for p in res2))
+
         def fast_branch(ops):
             o, d, thr, L, tmx = ops
             L2 = scan2(
                 o[:cap_rays], d[:cap_rays], thr[:cap_rays], L[:cap_rays],
-                tmx[:cap_rays], res2.idx[:, :cap_rays],
-                res2.ndir[:, :cap_rays], res2.refl[:, :cap_rays],
+                tmx[:cap_rays], res2_cap,
             )
             return jnp.concatenate([L2, L[cap_rays:]], axis=0)
 
         def full_branch(ops):
             o, d, thr, L, tmx = ops
-            return scan2(o, d, thr, L, tmx, res2.idx, res2.ndir, res2.refl)
+            return scan2(o, d, thr, L, tmx, res2)
 
         L_packed = jax.lax.cond(
-            n_alive <= cap_rays, fast_branch, full_branch,
+            n_alive <= cap_rows, fast_branch, full_branch,
             (o_p, d_p, thr_p, L_p, tm_p),
         )
-    return jnp.take(L_packed, dest, axis=0)[:R]
+    return _take_ray_rows(L_packed, dest)[:R]
 
 
 def replay_radiance(

@@ -1893,16 +1893,25 @@ def pallas_trace_paths_segmented(
 
 
 def _alive_first_perm(alive):
-    """Stable alive-first packing permutation WITHOUT a sort.
+    """Stable alive-first packing permutation at 128-ray ROW granularity.
 
-    Returns (src, dest, n_alive): src[j] = original index of the ray placed
-    at packed position j; dest[i] = packed position of original ray i (the
-    inverse permutation, computed ELEMENTWISE — no scatter). Two cumsums +
-    two vectorized binary searches; the argsort-based compaction the
-    segmented path used costs an XLA device sort per boundary, which
-    dominated its 11x loss (see the segmented section comment)."""
-    n = alive.shape[0]
-    alive_i = (alive > 0.5).astype(jnp.int32)
+    Returns (src, dest, n_alive) over LANE-ROWS (blocks of 128 consecutive
+    rays): src[j] = original row placed at packed row j; dest[i] = packed
+    position of original row i (the inverse, computed ELEMENTWISE — no
+    scatter); n_alive = number of rows containing ANY live ray.
+
+    Why rows, not rays: a per-ray permutation costs 14 element-gathers of
+    the whole state (measured 5x the monolithic forward at 45k rays —
+    TPU element-gathers are serial), while a row permutation is a plain
+    dynamic row copy (contiguous (1, 128) vregs) over ~R/128 indices.
+    Rays are fed in compact screen blocks (render._block_order), so death
+    is spatially clustered and all-dead rows are common; live rows keep
+    their intra-row coherence for the front culling. Two cumsums + two
+    vectorized binary searches over R/128 elements; the argsort the
+    segmented path used cost a device sort over R per boundary."""
+    rows = (alive.reshape(-1, LANES) > 0.5).any(axis=1)
+    n = rows.shape[0]
+    alive_i = rows.astype(jnp.int32)
     cum = jnp.cumsum(alive_i)
     n_alive = cum[-1]
     cumd = jnp.cumsum(1 - alive_i)
@@ -1914,6 +1923,16 @@ def _alive_first_perm(alive):
     src = jnp.where(pos < n_alive, src_live, src_dead)
     dest = jnp.where(alive_i > 0, cum - 1, n_alive + cumd - 1)
     return src, dest, n_alive
+
+
+def _take_ray_rows(x, rows_idx, axis=0):
+    """Permute an array's RAY axis (length Rp) by lane-row indices: the
+    axis is reshaped to (Rp/128, 128) and rows are gathered — contiguous
+    copies, never element gathers."""
+    shape = x.shape
+    n_rows = shape[axis] // LANES
+    new = shape[:axis] + (n_rows, LANES) + shape[axis + 1:]
+    return jnp.take(x.reshape(new), rows_idx, axis=axis).reshape(shape)
 
 
 @functools.partial(
@@ -1991,8 +2010,8 @@ def pallas_trace_paths_twophase(
     if record_miss:
         state += [jnp.zeros((r_pad,), jnp.float32) for _ in range(6)]
 
-    # dest_of_orig[i] = current packed position of original ray i
-    dest_of_orig = jnp.arange(r_pad, dtype=jnp.int32)
+    # dest_of_orig[i] = current packed position of original lane-row i
+    dest_of_orig = jnp.arange(r_pad // LANES, dtype=jnp.int32)
     for s, (b0, b1) in enumerate(zip(bounds, bounds[1:])):
         seed_s = jnp.bitwise_xor(
             jnp.asarray(seed, jnp.int32),
@@ -2005,13 +2024,13 @@ def pallas_trace_paths_twophase(
         tm = state[6]
         state = (o_planes[0:6] + [tm] + o_planes[6:9] + o_planes[9:12]
                  + o_planes[12:])
-        if b1 < max_depth:  # compact before the next phase
+        if b1 < max_depth:  # compact before the next phase (row-granular)
             src, dest, _ = _alive_first_perm(state[13])
-            state = [jnp.take(p, src) for p in state]
+            state = [_take_ray_rows(p, src) for p in state]
             dest_of_orig = jnp.take(dest, dest_of_orig)
 
-    unperm = lambda i0: jnp.take(
-        jnp.stack(state[i0 : i0 + 3], axis=-1), dest_of_orig, axis=0
+    unperm = lambda i0: _take_ray_rows(
+        jnp.stack(state[i0 : i0 + 3], axis=-1), dest_of_orig
     )[:R]
     rad = unperm(10)
     if record_miss:
@@ -2049,20 +2068,26 @@ def pallas_trace_record_twophase(
     (grad/replay.replay_radiance_twophase).
 
     Returns (radiance [R, 3], res1, res2, src, dest, n_alive):
-      res1       PathResiduals [cut, Rp] in ORIGINAL ray order (Rp = R
-                 padded to a tile multiple; padding rays are DEAD rows);
-      res2       PathResiduals [max_depth - cut, Rp] in PACKED order —
+      res1       PathResidualsP [cut, Rp] in ORIGINAL ray order (Rp = R
+                 padded to a tile multiple; padding rays are DEAD rows) —
+                 PLANAR residuals: direction components stay separate
+                 [D, R] planes (a stacked [D, R, 3] residual tiles its
+                 size-3 axis into the 128-lane minor dim when saved for
+                 the backward — a 42.7x padding blowup, compile-OOM at
+                 depth 50);
+      res2       PathResidualsP [max_depth - cut, Rp] in PACKED order —
                  rays alive after the cut occupy positions [0, n_alive);
-      src/dest   the packing permutation and its inverse ([Rp] int32):
-                 packed[j] = orig[src[j]], dest = position of each orig ray;
-      n_alive    traced scalar — survivor count (positions >= n_alive in
-                 res2 are all-DEAD rows).
+      src/dest   the packing permutation and its inverse, at 128-ray
+                 LANE-ROW granularity ([Rp/128] int32) — see
+                 _alive_first_perm for why rows, not rays;
+      n_alive    traced scalar — surviving ROW count (row positions >=
+                 n_alive in res2 hold only DEAD entries).
 
     The packed layout is what makes an O(live-depth) backward structural:
     the replay scans res1 for every ray (cut steps) and res2 only for a
     static survivor-capacity prefix, with an exact full-width fallback
     branch when n_alive exceeds it (see replay_radiance_twophase)."""
-    from raytracingproject_tpu.grad.replay import PathResiduals
+    from raytracingproject_tpu.grad.replay import PathResidualsP
 
     R = origin.shape[0]
     r_pad = ((R + TILE - 1) // TILE) * TILE
@@ -2094,18 +2119,15 @@ def pallas_trace_record_twophase(
                          interpret, record=True)
     res_flat = [o.reshape(cut, -1) for o in outs[13:17]]
     idx1, refl1 = _decode_res(res_flat[0], remap)
-    res1 = PathResiduals(
-        idx=idx1,
-        ndir=jnp.stack(res_flat[1:4], axis=-1),
-        refl=refl1,
-    )
+    res1 = PathResidualsP(idx=idx1, ndx=res_flat[1], ndy=res_flat[2],
+                          ndz=res_flat[3], refl=refl1)
     o_planes = [o.reshape(-1) for o in outs[:13]]
     tm = state[6]
     state = o_planes[0:6] + [tm] + o_planes[6:9] + o_planes[9:12] \
         + o_planes[12:13]
 
     src, dest, n_alive = _alive_first_perm(state[13])
-    state = [jnp.take(p, src) for p in state]
+    state = [_take_ray_rows(p, src) for p in state]
 
     seed2 = jnp.bitwise_xor(seed_i, jnp.int32(0x9E3779B1 & 0x7FFFFFFF))
     planes = [p.reshape(tiles * SUB, LANES) for p in state]
@@ -2113,13 +2135,10 @@ def pallas_trace_record_twophase(
                          interpret, record=True)
     res_flat = [o.reshape(max_depth - cut, -1) for o in outs[13:17]]
     idx2, refl2 = _decode_res(res_flat[0], remap)
-    res2 = PathResiduals(
-        idx=idx2,
-        ndir=jnp.stack(res_flat[1:4], axis=-1),
-        refl=refl2,
-    )
+    res2 = PathResidualsP(idx=idx2, ndx=res_flat[1], ndy=res_flat[2],
+                          ndz=res_flat[3], refl=refl2)
     rad_packed = jnp.stack([o.reshape(-1) for o in outs[9:12]], axis=-1)
-    rad = jnp.take(rad_packed, dest, axis=0)[:R]
+    rad = _take_ray_rows(rad_packed, dest)[:R]
     return rad, res1, res2, src, dest, n_alive
 
 

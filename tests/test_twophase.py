@@ -112,17 +112,25 @@ def test_twophase_record_matches_monolithic_record():
         o, d, t, scene, jnp.int32(5), max_depth=DEPTH, cut=CUT,
         interpret=True,
     )
+    from raytracingproject_tpu.ops.pallas.megakernel import (
+        LANES, _take_ray_rows,
+    )
+
     np.testing.assert_allclose(np.asarray(rad2), np.asarray(rad_m), atol=1e-5)
     np.testing.assert_array_equal(
         np.asarray(res1.idx)[:, :R], np.asarray(res_m.idx)[:CUT]
     )
-    idx2_orig = np.asarray(jnp.take(res2.idx, dest, axis=1))[:, :R]
+    # src/dest are 128-ray ROW permutations; unpermute the packed planes
+    idx2_orig = np.asarray(_take_ray_rows(res2.idx, dest, axis=1))[:, :R]
     np.testing.assert_array_equal(idx2_orig, np.asarray(res_m.idx)[CUT:])
-    nd2_orig = np.asarray(jnp.take(res2.ndir, dest, axis=1))[:, :R]
-    np.testing.assert_allclose(nd2_orig, np.asarray(res_m.ndir)[CUT:],
-                               atol=1e-6)
-    # packed layout: positions >= n_alive are all-DEAD columns
-    na = int(n_alive)
+    nd2 = jnp.stack([
+        _take_ray_rows(p, dest, axis=1) for p in
+        (res2.ndx, res2.ndy, res2.ndz)
+    ], axis=-1)
+    np.testing.assert_allclose(np.asarray(nd2)[:, :R],
+                               np.asarray(res_m.ndir)[CUT:], atol=1e-6)
+    # packed layout: row positions >= n_alive are all-DEAD
+    na = int(n_alive) * LANES
     assert (np.asarray(res2.idx)[:, na:] == -2).all()
 
 

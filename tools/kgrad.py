@@ -234,30 +234,25 @@ def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
             seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
             rad, r1, r2, _, _, _ = pallas_trace_record_twophase(
                 o, d, t, scene, seed, depth, cut=CUT)
-            return rad.sum() + r1.ndir.sum() + r2.idx.sum()
+            return rad.sum() + r1.ndx.sum() + r2.idx.sum()
 
         def p_rec_two_front(key):
             o, d, t = rays_of(key)
             seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
             rad, r1, r2, _, _, _ = pallas_trace_record_twophase(
                 o, d, t, rscene, seed, depth, cut=CUT, front=front)
-            return rad.sum() + r1.ndir.sum() + r2.idx.sum()
+            return rad.sum() + r1.ndx.sum() + r2.idx.sum()
 
         # isolated two-phase backward on fixed residuals (cap 25%)
         _, tr1, tr2, tsrc, tdest, tna = pallas_trace_record_twophase(
             o0, d0, t0, scene, jnp.int32(123), depth, cut=CUT)
-        two_ops = (tr1.idx, tr1.ndir, tr1.refl, tr2.idx, tr2.ndir, tr2.refl,
-                   tsrc, tdest, tna, o0, d0, t0)
+        two_ops = (tr1, tr2, tsrc, tdest, tna, o0, d0, t0)
         cap = max(1, int(round(tr1.idx.shape[1] * 0.25)))
 
-        def p_replay_two(key, i1, n1_, f1, i2, n2_, f2, srcx, destx, nax,
-                         o_, d_, t_):
-            res1 = PathResiduals(idx=i1, ndir=n1_, refl=f1)
-            res2 = PathResiduals(idx=i2, ndir=n2_, refl=f2)
-
+        def p_replay_two(key, r1, r2, srcx, destx, nax, o_, d_, t_):
             def loss(p_):
                 rad = replay_radiance_twophase(
-                    p_, scene, o_, d_, t_, res1, res2, srcx, destx, nax,
+                    p_, scene, o_, d_, t_, r1, r2, srcx, destx, nax,
                     cap_rays=cap)
                 return jnp.mean(rad * jax.random.uniform(key, rad.shape))
 

@@ -313,8 +313,13 @@ def main() -> None:
     b_np[: bounces.shape[0]] = np.asarray(bounces)
     alive2 = b_np > CUT
     resid = np.where(alive2, b_np - CUT, 0)
-    packed = np.concatenate([resid[alive2], resid[~alive2]])
-    tile_max2 = packed.reshape(-1, 1024).max(axis=1)
+    # row-granular packing (what _alive_first_perm actually does): whole
+    # 128-ray rows move, ordered live-rows-first
+    row_max = resid.reshape(-1, 128).max(axis=1)
+    row_live = row_max > 0
+    packed = np.concatenate([row_max[row_live], row_max[~row_live]])
+    out["twophase_live_row_frac"] = round(float(row_live.mean()), 4)
+    tile_max2 = packed.reshape(-1, 8).max(axis=1)  # 8 rows per tile
     # mean paid bounces per tile = prefix cost + packed residual tile-maxes
     # amortized over all tiles (dead tiles' residual max is 0)
     paid2 = float(CUT + tile_max2.sum() / (r_pad / 1024))
