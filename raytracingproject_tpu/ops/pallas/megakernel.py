@@ -101,7 +101,7 @@ def _sphere_test_ld(ld, s_global, rays, hc, t_min):
     (ld indexes the SMEM staging buffer; `s_global` is the winner index to
     record, which need not equal the staged column)."""
     ox, oy, oz, dx, dy, dz, tm, a, inv_a = rays
-    (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio, bs) = hc
+    (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio) = hc
     cx = ld(ROW_CX); cy = ld(ROW_CY); cz = ld(ROW_CZ)
     mx = ld(ROW_MX); my = ld(ROW_MY); mz = ld(ROW_MZ)
     rad = ld(ROW_RAD)
@@ -127,23 +127,30 @@ def _sphere_test_ld(ld, s_global, rays, hc, t_min):
     hy = jnp.where(better, ccy, hy)
     hz = jnp.where(better, ccz, hz)
     hrad = jnp.where(better, rad, hrad)
-    hmat = jnp.where(better, ld(ROW_MAT), hmat)
+    # WINNER INDEX RIDES THE MATERIAL SLOT: hmat carries mat + 4*index
+    # (exact f32 integers below 2^24; mat in {0,1,2}); the bounce loop
+    # decodes with one floor + one fma at shade time. A separate winner
+    # carry was the round-4 front+record collapse: the 12th loop-carried
+    # vector crossed the register-spill threshold inside the front's
+    # nested scalar loops (bisected by KPROBES_r05 record_front_code_only
+    # = collapsed vs record_front_dirs_only = full speed), costing
+    # 25.7 -> 77.8 ms at depth 50. Folding the index into an EXISTING
+    # select keeps the sphere-test op count and carry width identical to
+    # the non-recording kernel.
+    hmat = jnp.where(better, ld(ROW_MAT) + 4.0 * s_global, hmat)
     har = jnp.where(better, ld(ROW_AR), har)
     hag = jnp.where(better, ld(ROW_AG), hag)
     hab = jnp.where(better, ld(ROW_AB), hab)
     hfz = jnp.where(better, ld(ROW_FUZZ), hfz)
     hio = jnp.where(better, ld(ROW_IOR), hio)
-    # winner index as f32 (scalar broadcast; exact below 2^24 spheres) —
-    # recorded by the path-replay backward (grad/replay.py)
-    bs = jnp.where(better, jnp.float32(0) + s_global, bs)
-    return (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio, bs)
+    return (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio)
 
 
 def _hit_init(shape):
     zeros = jnp.zeros(shape, jnp.float32)
     return (jnp.full(shape, T_MAX, jnp.float32), zeros, zeros, zeros,
             jnp.ones(shape, jnp.float32), zeros, zeros, zeros, zeros,
-            zeros, jnp.ones(shape, jnp.float32), zeros)
+            zeros, jnp.ones(shape, jnp.float32))
 
 
 UNROLL = 8
@@ -599,9 +606,14 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
         inv_a = 1.0 / a
         rays = (ox, oy, oz, dx, dy, dz, tm, a, inv_a)
 
-        (bt, hx, hy, hz, hrad, hmat, har, hag, hab, hfz, hio, bs) = closest_hit(
+        (bt, hx, hy, hz, hrad, hmatp, har, hag, hab, hfz, hio) = closest_hit(
             rays, shape
         )
+        # decode the packed material slot (see _sphere_test_ld): hmatp =
+        # mat + 4*winner_index, both exact f32 integers; *0.25 and the
+        # floor are exact, so the split is lossless
+        bs = jnp.floor(hmatp * 0.25)
+        hmat = hmatp - 4.0 * bs
 
         hit = bt < T_MAX
         t_safe = jnp.where(hit, bt, 1.0)
