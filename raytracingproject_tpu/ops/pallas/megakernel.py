@@ -1406,6 +1406,7 @@ def pallas_trace_paths(
         kernel = functools.partial(
             _megakernel_front_hbm, n_front=n_front, max_depth=max_depth,
             t_min=t_min, inject_bug=inject_bug, record_miss=record_miss,
+            word_earlyout=front.word_earlyout,
         )
         in_specs = [
             smem((1, 1)),
@@ -2176,20 +2177,24 @@ class FrontTablesHBM:
 
     def __init__(self, sph: jnp.ndarray, ff: jnp.ndarray, fi: jnp.ndarray,
                  wf: jnp.ndarray, sf: jnp.ndarray,
-                 remap: jnp.ndarray | None = None):
+                 remap: jnp.ndarray | None = None,
+                 word_earlyout: bool = False):
         self.sph = sph  # (N_ROWS, F*BLOCK) HBM table, block k = subtree k
         self.ff = ff    # (8, F) f32 subtree boxes
         self.fi = fi    # (1, F) i32 padded counts (starts are implicit k*BLOCK)
         self.wf = wf
         self.sf = sf
         self.remap = remap  # (F*BLOCK,) i32 column -> scene index
+        # static: per-word best-t early-out (see _closest_hit_front)
+        self.word_earlyout = word_earlyout
 
     def tree_flatten(self):
-        return (self.sph, self.ff, self.fi, self.wf, self.sf, self.remap), None
+        return (self.sph, self.ff, self.fi, self.wf, self.sf, self.remap), \
+            self.word_earlyout
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves)
+        return cls(*leaves, word_earlyout=bool(aux))
 
 
 jax.tree_util.register_pytree_node(
@@ -2200,7 +2205,8 @@ jax.tree_util.register_pytree_node(
 
 
 def front_tables_hbm(scene: Scene, bvh, max_nodes: int | None = None,
-                     order_point=None) -> FrontTablesHBM:
+                     order_point=None,
+                     word_earlyout: bool = False) -> FrontTablesHBM:
     """Build HBM-staged front tables. `scene` MUST be in BVH leaf order.
     `order_point` orders subtrees near-to-far (see front_tables)."""
     import numpy as np
@@ -2267,12 +2273,13 @@ def front_tables_hbm(scene: Scene, bvh, max_nodes: int | None = None,
     return FrontTablesHBM(
         jnp.asarray(blocks), jnp.asarray(ff), jnp.asarray(fi),
         jnp.asarray(wf), jnp.asarray(sf), jnp.asarray(remap),
+        word_earlyout=word_earlyout,
     )
 
 
 def _closest_hit_front_hbm(sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref,
                            livew_ref, live_ref, stage, sems, rays, t_min,
-                           n_front, shape):
+                           n_front, shape, word_earlyout=False):
     """Hierarchical front culling with the sphere table in HBM.
 
     Stage 1 (live word list) is identical to the SMEM front. Stage 2
@@ -2320,6 +2327,9 @@ def _closest_hit_front_hbm(sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref,
 
     def word_body(l, h):
         w = livew_ref[0, l]
+        return _word_work(l, w, h)
+
+    def _word_work(l, w, h):
         slab_f = _slab_factory(ff_ref, rays, t_min, bt=h[0])
         word = _pack_any_bits(slab_f, WORD, base=w * WORD)
 
@@ -2372,6 +2382,15 @@ def _closest_hit_front_hbm(sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref,
 
         return jax.lax.fori_loop(0, n_live, live_body, h)
 
+    if word_earlyout:
+        def word_body_weo(l, h):
+            w = livew_ref[0, l]
+            slab_w2 = _slab_factory(wf_ref, rays, t_min, bt=h[0])
+            still = jnp.max(slab_w2(w)) > 0.0
+            return jax.lax.cond(still, lambda hh: _word_work(l, w, hh),
+                                lambda hh: hh, h)
+
+        return jax.lax.fori_loop(0, n_live_w, word_body_weo, hc)
     return jax.lax.fori_loop(0, n_live_w, word_body, hc)
 
 
@@ -2379,7 +2398,7 @@ def _megakernel_front_hbm(
     seed_ref, sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref,
     *rest,  # 7 ray planes, 3 (+6 miss) outs, then 4 scratches
     n_front: int, max_depth: int, t_min: float, inject_bug=None,
-    record_miss: bool = False,
+    record_miss: bool = False, word_earlyout: bool = False,
 ):
     ray_refs = rest[:7]
     livew_ref, live_ref, stage, sems = rest[-4:]
@@ -2389,6 +2408,7 @@ def _megakernel_front_hbm(
         return _closest_hit_front_hbm(
             sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref, live_ref,
             stage, sems, rays, t_min, n_front, shape,
+            word_earlyout=word_earlyout,
         )
 
     _bounce_loop(seed_ref, hit, *ray_refs, rr_ref, rg_ref, rb_ref,

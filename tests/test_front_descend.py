@@ -82,3 +82,20 @@ def test_subblock_plus_earlyout_exact():
     b = np.asarray(pallas_trace_paths(o, d, t, rscene, jnp.int32(2), 3,
                                       interpret=True, front=both))
     np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_hbm_word_earlyout_exact():
+    """HBM-staged front with per-word early-out vs without (interpret)."""
+    from raytracingproject_tpu.ops.pallas.megakernel import front_tables_hbm
+
+    rscene, bvh = _setup(200)
+    o, d, t = _rays(1024, key=11)
+    plain = front_tables_hbm(rscene, bvh, max_nodes=48,
+                             order_point=(8.0, 3.0, 8.0))
+    weo = front_tables_hbm(rscene, bvh, max_nodes=48,
+                           order_point=(8.0, 3.0, 8.0), word_earlyout=True)
+    a = np.asarray(pallas_trace_paths(o, d, t, rscene, jnp.int32(7), 2,
+                                      interpret=True, front=plain))
+    b = np.asarray(pallas_trace_paths(o, d, t, rscene, jnp.int32(7), 2,
+                                      interpret=True, front=weo))
+    np.testing.assert_allclose(b, a, atol=1e-6)

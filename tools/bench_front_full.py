@@ -120,9 +120,10 @@ def bench_scene(scene, tag: str, fronts=(None,), unordered_control=False) -> Non
                                  repack=rp, sub_block=sb, word_earlyout=weo)
             label = f"front_{fn}{suffix}"
         except ValueError:
-            if sb or weo:
-                continue  # HBM path has no descent tables yet
-            front = front_tables_hbm(rscene, bvh, max_nodes=fn, order_point=op)
+            if sb:
+                continue  # HBM path has no sub-block tables yet
+            front = front_tables_hbm(rscene, bvh, max_nodes=fn, order_point=op,
+                                     word_earlyout=weo)
             label = f"front_hbm_{front.ff.shape[1]}{suffix}"
 
         def make_front(key, front=front, tp=tp):
