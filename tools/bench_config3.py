@@ -53,6 +53,10 @@ def main() -> None:
                     help="depth-segment length; 0 = monolithic kernel (the "
                     "measured winner — seg8 ran 11x slower and faulted the "
                     "worker at this grid, see megakernel.py segmented notes)")
+    ap.add_argument("--two-phase", type=int,
+                    default=int(os.environ.get("CONFIG3_TWOPHASE", "0")),
+                    help="two-phase cut depth (death-coherent compaction); "
+                    "0 = monolithic")
     args = ap.parse_args()
     assert args.spp % SPP_CHUNK == 0
 
@@ -93,6 +97,7 @@ def main() -> None:
             front=front,
             early_exit=not on_tpu,
             depth_segment=args.seg if on_tpu else 0,
+            two_phase=args.two_phase if on_tpu else 0,
             # slot-space accumulation: the unpermute happens once per frame
             # (full_frame below / render()), not once per chunk pass
             raw_slots=on_tpu,
@@ -143,8 +148,9 @@ def main() -> None:
         "max_depth": args.depth,
         "n_spheres": int(scene.radius.shape[0]),
         "path": (
-            (f"pallas_megakernel_front_seg{args.seg}" if args.seg
-             else "pallas_megakernel_front")
+            ("pallas_megakernel_front"
+             + (f"_seg{args.seg}" if args.seg else "")
+             + (f"_tp{args.two_phase}" if args.two_phase else ""))
             if on_tpu else "xla_early_exit"
         ),
         "rays_per_sec_marginal": round(rays_per_sec, 1),
@@ -158,8 +164,18 @@ def main() -> None:
 
     from tools.artifact import artifact_path
 
-    with open(artifact_path("CONFIG3"), "w") as f:
-        json.dump(out, f, indent=1)
+    # variant runs (e.g. two-phase) merge under their path key instead of
+    # clobbering the round's monolithic record
+    path = artifact_path("CONFIG3")
+    record = out
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev.get("path") != out["path"] or "variants" in prev:
+            prev.setdefault("variants", {})[out["path"]] = out
+            record = prev
+    with open(path, "w") as f:
+        json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -115,6 +115,8 @@ def run_config3():
     from tools import bench_config3
 
     _with_argv(["bench_config3"], bench_config3.main)
+    # two-phase variant rides the same artifact under variants[path]
+    _with_argv(["bench_config3", "--two-phase", "4"], bench_config3.main)
 
 
 @phase("scaling_native")
