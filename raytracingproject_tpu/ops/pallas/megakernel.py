@@ -1406,7 +1406,7 @@ def pallas_trace_paths(
         kernel = functools.partial(
             _megakernel_front_hbm, n_front=n_front, max_depth=max_depth,
             t_min=t_min, inject_bug=inject_bug, record_miss=record_miss,
-            word_earlyout=front.word_earlyout,
+            word_earlyout=front.word_earlyout, ksub=front.ksub,
         )
         in_specs = [
             smem((1, 1)),
@@ -1424,6 +1424,10 @@ def pallas_trace_paths(
             pltpu.SMEM((2 * N_ROWS, BLOCK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+        if front.ksub:
+            in_specs.append(smem(front.bf.shape))
+            args = args + (front.bf,)
+            scratch_shapes.append(pltpu.SMEM((1, 64), jnp.int32))
     elif front is not None:
         n_front = front.ff.shape[1]
         kernel = functools.partial(
@@ -2178,7 +2182,8 @@ class FrontTablesHBM:
     def __init__(self, sph: jnp.ndarray, ff: jnp.ndarray, fi: jnp.ndarray,
                  wf: jnp.ndarray, sf: jnp.ndarray,
                  remap: jnp.ndarray | None = None,
-                 word_earlyout: bool = False):
+                 word_earlyout: bool = False,
+                 bf: jnp.ndarray | None = None, ksub: int = 0):
         self.sph = sph  # (N_ROWS, F*BLOCK) HBM table, block k = subtree k
         self.ff = ff    # (8, F) f32 subtree boxes
         self.fi = fi    # (1, F) i32 padded counts (starts are implicit k*BLOCK)
@@ -2187,14 +2192,21 @@ class FrontTablesHBM:
         self.remap = remap  # (F*BLOCK,) i32 column -> scene index
         # static: per-word best-t early-out (see _closest_hit_front)
         self.word_earlyout = word_earlyout
+        # sub-block descent: (8, F*BLOCK/UNROLL [+pad]) boxes in SMEM (the
+        # box table is small even when the sphere table is not); ksub =
+        # BLOCK // UNROLL sub-blocks per staged block
+        self.bf = bf
+        self.ksub = ksub
 
     def tree_flatten(self):
-        return (self.sph, self.ff, self.fi, self.wf, self.sf, self.remap), \
-            self.word_earlyout
+        return (self.sph, self.ff, self.fi, self.wf, self.sf, self.remap,
+                self.bf), (self.word_earlyout, self.ksub)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, word_earlyout=bool(aux))
+        weo, ksub = aux
+        *core, bf = leaves
+        return cls(*core, word_earlyout=weo, bf=bf, ksub=ksub)
 
 
 jax.tree_util.register_pytree_node(
@@ -2206,9 +2218,16 @@ jax.tree_util.register_pytree_node(
 
 def front_tables_hbm(scene: Scene, bvh, max_nodes: int | None = None,
                      order_point=None,
-                     word_earlyout: bool = False) -> FrontTablesHBM:
+                     word_earlyout: bool = False,
+                     sub_block: bool = False) -> FrontTablesHBM:
     """Build HBM-staged front tables. `scene` MUST be in BVH leaf order.
-    `order_point` orders subtrees near-to-far (see front_tables)."""
+    `order_point` orders subtrees near-to-far (see front_tables).
+
+    `sub_block`: per-8-sphere boxes for intra-block descent — the box
+    table (F*BLOCK/8 columns) stays in SMEM even when the sphere table
+    cannot; pairs naturally with FEWER, BIGGER subtrees (pass a small
+    max_nodes so each 8 KB staged block carries ~BLOCK real spheres
+    instead of ~26)."""
     import numpy as np
 
     from raytracingproject_tpu.bvh import bvh_front
@@ -2270,16 +2289,48 @@ def front_tables_hbm(scene: Scene, bvh, max_nodes: int | None = None,
         if real.any():
             sf[0:3, sw] = wf[0:3, sl][:, real].min(axis=1)
             sf[3:6, sw] = wf[3:6, sl][:, real].max(axis=1)
+    bf = None
+    ksub = 0
+    if sub_block:
+        c0c = blocks[0:3]
+        c1c = c0c + blocks[3:6]
+        rc = np.abs(blocks[6])
+        bmin = np.minimum(c0c, c1c) - rc
+        bmax = np.maximum(c0c, c1c) + rc
+        nblk = blocks.shape[1] // UNROLL
+        ksub = BLOCK // UNROLL
+        bf = np.zeros((8, nblk), np.float32)
+        bf[0:6] = 1e30
+        # only real (count-covered) columns contribute; block k's padded
+        # tail columns are zero rows -> exclude by count mask
+        colmask = np.zeros(blocks.shape[1], bool)
+        for k in range(f_pad):
+            colmask[k * BLOCK : k * BLOCK + counts[k]] = True
+        m8 = colmask.reshape(nblk, UNROLL)
+        bmin_r = bmin.reshape(3, nblk, UNROLL)
+        bmax_r = bmax.reshape(3, nblk, UNROLL)
+        for b in range(nblk):
+            mm = m8[b]
+            if mm.any():
+                bf[0:3, b] = bmin_r[:, b, mm].min(axis=1)
+                bf[3:6, b] = bmax_r[:, b, mm].max(axis=1)
+                bf[6:8, b] = 0.0
+        smem_boxes = 4 * bf.size
+        assert smem_boxes < SMEM_BUDGET_BYTES // 2, (
+            f"HBM sub-block box table {smem_boxes} B too large; raise the "
+            "subtree size (smaller max_nodes)")
     return FrontTablesHBM(
         jnp.asarray(blocks), jnp.asarray(ff), jnp.asarray(fi),
         jnp.asarray(wf), jnp.asarray(sf), jnp.asarray(remap),
         word_earlyout=word_earlyout,
+        bf=None if bf is None else jnp.asarray(bf), ksub=ksub,
     )
 
 
 def _closest_hit_front_hbm(sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref,
                            livew_ref, live_ref, stage, sems, rays, t_min,
-                           n_front, shape, word_earlyout=False):
+                           n_front, shape, word_earlyout=False,
+                           bf_ref=None, liveb_ref=None, ksub=0):
     """Hierarchical front culling with the sphere table in HBM.
 
     Stage 1 (live word list) is identical to the SMEM front. Stage 2
@@ -2369,16 +2420,48 @@ def _closest_hit_front_hbm(sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref,
             sid = live_ref[0, l2]
             cnt = live_ref[1, l2]
 
-            def inner(q, hhh):
+            if bf_ref is None:
+                def inner(q, hhh):
+                    for u in range(UNROLL):
+                        s_loc = q * UNROLL + u
+                        hhh = _sphere_test_ld(
+                            lambda row, s_loc=s_loc: stage[slot * N_ROWS + row, s_loc],
+                            sid * BLOCK + s_loc, rays, hhh, t_min,
+                        )
+                    return hhh
+
+                return jax.lax.fori_loop(0, cnt // UNROLL, inner, hh)
+
+            # SUB-BLOCK DESCENT (HBM): the block's 8-sphere boxes live in
+            # SMEM (bf_ref column sid*ksub + k bounds staged columns
+            # [8k, 8k+8)); pack their any-bits against the current best-t
+            # (one sync) and scan only surviving chunks of the staged
+            # block — the compute-side answer to BLOCK-sized subtrees.
+            slab_b = _slab_factory(bf_ref, rays, t_min, bt=hh[0])
+            bword = _pack_any_bits(slab_b, ksub, base=sid * ksub)
+
+            def ext(k, c3):
+                bit = jax.lax.shift_right_logical(bword, k) & 1
+
+                @pl.when(bit > 0)
+                def _():
+                    liveb_ref[0, c3] = k * UNROLL
+
+                return c3 + bit
+
+            n_blk = jax.lax.fori_loop(0, cnt // UNROLL, ext, jnp.int32(0))
+
+            def blk_body(q, hhh):
+                base_l = liveb_ref[0, q]
                 for u in range(UNROLL):
-                    s_loc = q * UNROLL + u
                     hhh = _sphere_test_ld(
-                        lambda row, s_loc=s_loc: stage[slot * N_ROWS + row, s_loc],
-                        sid * BLOCK + s_loc, rays, hhh, t_min,
+                        lambda row, u=u, base_l=base_l: stage[
+                            slot * N_ROWS + row, base_l + u],
+                        sid * BLOCK + base_l + u, rays, hhh, t_min,
                     )
                 return hhh
 
-            return jax.lax.fori_loop(0, cnt // UNROLL, inner, hh)
+            return jax.lax.fori_loop(0, n_blk, blk_body, hh)
 
         return jax.lax.fori_loop(0, n_live, live_body, h)
 
@@ -2396,19 +2479,27 @@ def _closest_hit_front_hbm(sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref,
 
 def _megakernel_front_hbm(
     seed_ref, sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref,
-    *rest,  # 7 ray planes, 3 (+6 miss) outs, then 4 scratches
+    *rest,  # [bf] 7 ray planes, 3 (+6 miss) outs, then 4 (+1) scratches
     n_front: int, max_depth: int, t_min: float, inject_bug=None,
-    record_miss: bool = False, word_earlyout: bool = False,
+    record_miss: bool = False, word_earlyout: bool = False, ksub: int = 0,
 ):
+    if ksub:
+        bf_ref, *rest = rest
+        livew_ref, live_ref, stage, sems, liveb_ref = rest[-5:]
+        tail = rest[7:-5]
+    else:
+        bf_ref, liveb_ref = None, None
+        livew_ref, live_ref, stage, sems = rest[-4:]
+        tail = rest[7:-4]
     ray_refs = rest[:7]
-    livew_ref, live_ref, stage, sems = rest[-4:]
-    (rr_ref, rg_ref, rb_ref), miss_refs = _split_outs(rest[7:-4], record_miss)
+    (rr_ref, rg_ref, rb_ref), miss_refs = _split_outs(tail, record_miss)
 
     def hit(rays, shape):
         return _closest_hit_front_hbm(
             sph_hbm, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref, live_ref,
             stage, sems, rays, t_min, n_front, shape,
             word_earlyout=word_earlyout,
+            bf_ref=bf_ref, liveb_ref=liveb_ref, ksub=ksub,
         )
 
     _bounce_loop(seed_ref, hit, *ray_refs, rr_ref, rg_ref, rb_ref,

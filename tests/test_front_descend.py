@@ -99,3 +99,23 @@ def test_hbm_word_earlyout_exact():
     b = np.asarray(pallas_trace_paths(o, d, t, rscene, jnp.int32(7), 2,
                                       interpret=True, front=weo))
     np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_hbm_subblock_exact():
+    """HBM front with BLOCK-sized subtrees + sub-block descent vs the
+    plain HBM front (interpret)."""
+    from raytracingproject_tpu.ops.pallas.megakernel import front_tables_hbm
+
+    rscene, bvh = _setup(400)
+    o, d, t = _rays(1024, key=13)
+    plain = front_tables_hbm(rscene, bvh, max_nodes=24,
+                             order_point=(8.0, 3.0, 8.0))
+    sub = front_tables_hbm(rscene, bvh, max_nodes=24,
+                           order_point=(8.0, 3.0, 8.0), sub_block=True,
+                           word_earlyout=True)
+    assert sub.ksub == 16
+    a = np.asarray(pallas_trace_paths(o, d, t, rscene, jnp.int32(5), 2,
+                                      interpret=True, front=plain))
+    b = np.asarray(pallas_trace_paths(o, d, t, rscene, jnp.int32(5), 2,
+                                      interpret=True, front=sub))
+    np.testing.assert_allclose(b, a, atol=1e-6)

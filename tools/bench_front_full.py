@@ -120,11 +120,11 @@ def bench_scene(scene, tag: str, fronts=(None,), unordered_control=False) -> Non
                                  repack=rp, sub_block=sb, word_earlyout=weo)
             label = f"front_{fn}{suffix}"
         except ValueError:
-            if sb:
-                continue  # HBM path has no sub-block tables yet
             front = front_tables_hbm(rscene, bvh, max_nodes=fn, order_point=op,
-                                     word_earlyout=weo)
-            label = f"front_hbm_{front.ff.shape[1]}{suffix}"
+                                     word_earlyout=weo, sub_block=sb)
+            # repack is a SMEM-front knob; drop it from the HBM label
+            label = f"front_hbm_{front.ff.shape[1]}" \
+                + suffix.replace("_rp2", "").replace("_rp3", "")
 
         def make_front(key, front=front, tp=tp):
             return render_pass(rscene, cam, key, width=W, height=H,
