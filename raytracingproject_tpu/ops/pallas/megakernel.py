@@ -200,7 +200,7 @@ def _closest_hit_bvh(sph_ref, nf_ref, ni_ref, rays, t_min, shape):
 
     # Two-level loop: the INNER while walks inner nodes carrying only
     # (scalar ptr, scalar found) — no vector carries, no per-node copies of
-    # the 12-field hit state — until it parks on an overlapping leaf (or the
+    # the 11-field hit state — until it parks on an overlapping leaf (or the
     # sentinel). The OUTER loop (one iteration per *visited leaf*) runs the
     # sphere tests and re-enters the walk at the leaf's miss link. A rolled
     # single-loop formulation pays a lax.cond with the full hit-state carry
@@ -357,7 +357,7 @@ def _closest_hit_front(sph_ref, ff_ref, fi_ref, wf_ref, sf_ref, livew_ref,
         sync each — the pack takes a traced base) and extract. Dead
         super-words cost nothing beyond their one slab column.
     - stage 2 walks ONLY the live words (a fori_loop over the compacted
-      list — dead words never cross the 12-tensor hit-state carry): per
+      list — dead words never cross the 11-tensor hit-state carry): per
       word, slab-test its 24 subtree boxes clamped to the per-lane best_t
       so far (one sync), scalar-compact the live (start, count) ranges into
       `live_ref`, and run the exact unrolled sphere test on their

@@ -51,7 +51,7 @@ SUB, LANES = 8, 128
 # center lerp (3 fma) + oc (3 sub) + half_b (mul + 2 fma) + cq (mul +
 # 2 fma + fma) + disc (2 mul + sub) + dpos (cmp) + sq (select + sqrt) +
 # r0/r1 (2 x (sub + mul)) + in0/in1 (4 cmp + 2 and) + root (select) +
-# better (2 and/or) + 12 winner selects = 54 issue slots per sphere/lane.
+# better (2 and/or) + 11 winner selects + 1 index-pack fma = 54 issue slots per sphere/lane.
 OPS_PER_SPHERE_TEST = 54
 # shading/bounce bookkeeping per bounce per lane (normal, sky, all three
 # scatter variants computed masked, RNG draws, state selects): counted the
@@ -145,7 +145,7 @@ def measure_mixed_peak(n_spheres: int = 488, tiles: int = 64) -> float:
         inv_a = 1.0 / a
         rays = (ox, oy, oz, dx, dy, dz, tm, a, inv_a)
         hc = _closest_hit_brute(sph_ref, rays, 1e-3, n_pad, (SUB, LANES))
-        o_ref[:] = hc[0] + hc[6] + hc[11]  # consume best-t + attrs + winner
+        o_ref[:] = hc[0] + hc[6] + hc[5]  # consume best-t + attrs + packed mat/idx
 
     spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
