@@ -155,13 +155,16 @@ def main() -> None:
         # the scene and INFLATES the fast path's measured rays/s, so
         # un-clipped numbers overstate the culling-dependent paths).
         # Depth-50 geometry training is bistable at lr 2e-2 even clipped
-        # (converged in one run, diverged in the next); 5e-3 is robustly
-        # stable there. Neither choice changes the per-step cost measured.
+        # (converged in one run, diverged in the next); 5e-3 looked stable
+        # in round 4 but flipped again in round-5 batch 2 (the
+        # discard-first-rep warmup runs one extra 20-step cycle, one more
+        # divergence lottery ticket). 2e-3 for deep rows; the lr does not
+        # change the per-step cost being measured.
         import optax
 
         opt = optax.chain(
             optax.clip_by_global_norm(1.0),
-            optax.adam(5e-3 if deep else 2e-2),
+            optax.adam(2e-3 if deep else 2e-2),
         )
 
         paths = {}

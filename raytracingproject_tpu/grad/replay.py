@@ -340,8 +340,8 @@ def replay_radiance_twophase(
     gather2 = _make_gather_rows(n_spheres, onehot_fwd=res2.idx.shape[0] > 16)
     step2 = _make_live_step(table, gather2)
 
-    def scan2(o, d, thr, L, tmx, r2):
-        body2 = lambda c, r: (step2(tmx, c, r), None)
+    def scan2(o, d, thr, L, tmx, r2, step_fn=None):
+        body2 = lambda c, r: ((step_fn or step2)(tmx, c, r), None)
         xs = (r2.idx, (r2.ndx, r2.ndy, r2.ndz), r2.refl)
         (_, _, _, L_out), _ = jax.lax.scan(
             jax.checkpoint(body2), (o, d, thr, L), xs
@@ -361,9 +361,18 @@ def replay_radiance_twophase(
             )
             return jnp.concatenate([L2, L[cap_rays:]], axis=0)
 
+        # The exact overflow fallback uses the TAKE gather regardless of
+        # depth: its one-hot form would put a second, FULL-WIDTH [R, N]
+        # per-step buffer next to the fast branch's [cap, N] one (the
+        # flagship two-phase step compile-OOMed exactly here, batch 2).
+        # The fallback is the rare path — lean memory beats speed there.
+        step2_full = _make_live_step(
+            table, _make_gather_rows(n_spheres, onehot_fwd=False)
+        )
+
         def full_branch(ops):
             o, d, thr, L, tmx = ops
-            return scan2(o, d, thr, L, tmx, res2)
+            return scan2(o, d, thr, L, tmx, res2, step_fn=step2_full)
 
         L_packed = jax.lax.cond(
             n_alive <= cap_rows, fast_branch, full_branch,
