@@ -1996,7 +1996,16 @@ def pallas_trace_paths_twophase(
     in-kernel PRNG; the estimator and its distributions are unchanged —
     same argument as the segmented docstring). In interpret mode the PRNG
     returns zeros, making both paths deterministic and bit-comparable
-    (tests/test_pallas_megakernel.py::test_twophase_matches_monolithic)."""
+    (tests/test_pallas_megakernel.py::test_twophase_matches_monolithic).
+
+    HBM-staged fronts (FrontTablesHBM) have no segment kernel; they fall
+    back to the monolithic trace (their dead tiles already exit in one
+    sync via the bounce while-loop)."""
+    if isinstance(front, FrontTablesHBM):
+        return pallas_trace_paths(
+            origin, direction, time, scene, seed, max_depth, t_min=t_min,
+            interpret=interpret, front=front, record_miss=record_miss,
+        )
     R = origin.shape[0]
     r_pad = ((R + TILE - 1) // TILE) * TILE
     tiles = r_pad // TILE
