@@ -116,15 +116,26 @@ def bench_scene(scene, tag: str, fronts=(None,), unordered_control=False) -> Non
         if tp:
             suffix += f"_tp{tp}"
         try:
-            front = front_tables(rscene, bvh, max_nodes=fn, order_point=op,
-                                 repack=rp, sub_block=sb, word_earlyout=weo)
-            label = f"front_{fn}{suffix}"
-        except ValueError:
-            front = front_tables_hbm(rscene, bvh, max_nodes=fn, order_point=op,
-                                     word_earlyout=weo, sub_block=sb)
-            # repack is a SMEM-front knob; drop it from the HBM label
-            label = f"front_hbm_{front.ff.shape[1]}" \
-                + suffix.replace("_rp2", "").replace("_rp3", "")
+            try:
+                front = front_tables(rscene, bvh, max_nodes=fn,
+                                     order_point=op, repack=rp, sub_block=sb,
+                                     word_earlyout=weo)
+                label = f"front_{fn}{suffix}"
+            except ValueError:
+                front = front_tables_hbm(rscene, bvh, max_nodes=fn,
+                                         order_point=op, word_earlyout=weo,
+                                         sub_block=sb)
+                # repack is a SMEM-front knob; drop it from the HBM label
+                label = f"front_hbm_{front.ff.shape[1]}" \
+                    + suffix.replace("_rp2", "").replace("_rp3", "")
+        except Exception as e:
+            # a front that cannot BUILD at this size (e.g. a subtree
+            # overflowing the HBM block) is a row, not a crashed phase
+            row = {"scene": tag, "n": n, "path": f"front_{fn}{suffix}",
+                   "error": str(e).split("\n")[0][:120]}
+            ROWS.append(row)
+            print(json.dumps(row), flush=True)
+            continue
 
         def make_front(key, front=front, tp=tp):
             return render_pass(rscene, cam, key, width=W, height=H,
@@ -148,26 +159,32 @@ def bench_scene(scene, tag: str, fronts=(None,), unordered_control=False) -> Non
         print(json.dumps(row), flush=True)
 
 
-def main() -> None:
-    extras = [int(a) for a in sys.argv[1:]] or [0, 5000]
-    for ne in extras:
-        if ne == 0:
-            bench_scene(make_cover_scene(seed=0), "cover488",
-                        fronts=(None, 48, 96), unordered_control=True)
-        elif ne <= 15000:
-            bench_scene(make_random_scene(ne, seed=3), f"random{ne}",
-                        fronts=(None, 384, 624), unordered_control=True)
-        else:
-            bench_scene(make_random_scene(ne, seed=3), f"random{ne}",
-                        fronts=(None,), unordered_control=True)
-
+def _write_artifact() -> None:
     # per-round artifact (round-2 VERDICT #3 asked for committed evidence
     # of front scaling at 5k/50k spheres); round number from the shared
     # helper so companion artifacts agree (advisor round-3 finding)
     from tools.artifact import artifact_path
 
     with open(artifact_path("FRONT"), "w") as f:
-        json.dump({"depth": DEPTH, "resolution": f"{W}x{H}", "rows": ROWS}, f, indent=1)
+        json.dump({"depth": DEPTH, "resolution": f"{W}x{H}", "rows": ROWS},
+                  f, indent=1)
+
+
+def main() -> None:
+    extras = [int(a) for a in sys.argv[1:]] or [0, 5000]
+    for ne in extras:
+        try:
+            if ne == 0:
+                bench_scene(make_cover_scene(seed=0), "cover488",
+                            fronts=(None, 48, 96), unordered_control=True)
+            elif ne <= 15000:
+                bench_scene(make_random_scene(ne, seed=3), f"random{ne}",
+                            fronts=(None, 384, 624), unordered_control=True)
+            else:
+                bench_scene(make_random_scene(ne, seed=3), f"random{ne}",
+                            fronts=(None,), unordered_control=True)
+        finally:
+            _write_artifact()  # partial rows survive a crashed scene
 
 
 if __name__ == "__main__":
