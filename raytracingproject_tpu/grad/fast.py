@@ -34,7 +34,8 @@ from raytracingproject_tpu.scene import Scene
 
 def make_fast_radiance(scene: Scene, max_depth: int, bvh=None, front=None,
                        interpret: bool = False, replay_groups: int = 1,
-                       replay_skip_dead: bool | None = None):
+                       replay_skip_dead: bool | None = None,
+                       replay_gather: str | None = None):
     """Build radiance_fn(params, origin, direction, time, seed_f32) -> [R,3]
     with the Pallas-forward / replay-backward custom VJP.
 
@@ -81,7 +82,8 @@ def make_fast_radiance(scene: Scene, max_depth: int, bvh=None, front=None,
         _, vjp = jax.vjp(
             lambda p: replay_radiance(p, scene, origin, direction, time, res,
                                       n_groups=replay_groups,
-                                      skip_dead=replay_skip_dead),
+                                      skip_dead=replay_skip_dead,
+                                      gather=replay_gather),
             params,
         )
         (g_params,) = vjp(g)
@@ -357,6 +359,7 @@ def make_fast_train_step(
     front=None,
     replay_groups: int = 1,
     replay_skip_dead: bool | None = None,
+    replay_gather: str | None = None,
     two_phase: int | None = None,
     cap_frac: float = 0.25,
 ):
@@ -415,7 +418,8 @@ def make_fast_train_step(
         radiance_fn = make_fast_radiance(scene, max_depth, bvh=bvh,
                                          front=front, interpret=interpret,
                                          replay_groups=replay_groups,
-                                         replay_skip_dead=replay_skip_dead)
+                                         replay_skip_dead=replay_skip_dead,
+                                         replay_gather=replay_gather)
 
     jj, ii = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.int32),

@@ -91,6 +91,41 @@ def _make_gather_rows(n: int, onehot_fwd: bool = False):
     return gather
 
 
+def _make_gather_cols(n: int):
+    """Row gather with attrs in [C, R] (RAY-MINOR) layout, both directions
+    on the MXU.
+
+    The [R, C] one-hot form pads the C=13 attribute axis to the 128-lane
+    MXU minor dimension — ~8x wasted MAC slots per replay step (the
+    dominant cost of the depth-50 backward: [R,488]x[488,128pad] twice a
+    step). Transposed, the matmuls run [16pad,488]x[488,R] forward and
+    [16pad,R]x[R,512pad] for the table cotangent — R (large) occupies the
+    minor dim and the small axes pad only to sublanes. Exact: same one-hot
+    products, relaid."""
+    import numpy as np
+
+    def _onehot_t(idx, dtype):  # [n, R]
+        return (
+            jnp.arange(n, dtype=idx.dtype)[:, None] == idx[None, :]
+        ).astype(dtype)
+
+    @jax.custom_vjp
+    def gather(table_t, idx):  # [C, n], [R] int32 -> [C, R]
+        return jnp.dot(table_t, _onehot_t(idx, table_t.dtype),
+                       preferred_element_type=table_t.dtype)
+
+    def fwd(table_t, idx):
+        return gather(table_t, idx), idx
+
+    def bwd(idx, g):  # g [C, R] -> table_t cotangent [C, n]
+        g_t = jnp.dot(g, jnp.transpose(_onehot_t(idx, g.dtype)),
+                      preferred_element_type=g.dtype)
+        return g_t, np.zeros(idx.shape, jax.dtypes.float0)
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
 class PathResiduals(NamedTuple):
     """Recorded path decisions; leading axis = bounce depth.
 
@@ -265,6 +300,127 @@ def _make_live_step(table, gather_rows):
     return _live_step
 
 
+def _make_live_step_cols(table_t, gather_cols):
+    """_make_live_step with the [C, R] (ray-minor) attribute gather: the
+    same replay bounce written COMPONENT-WISE so every intermediate is an
+    [R] vector and the gathered attribute rows are consumed directly —
+    no [R, C] relayout anywhere. Carry stays (o, d, thr, L) in [R, 3]
+    (split/stacked per step; fused elementwise)."""
+    sg = jax.lax.stop_gradient
+
+    def _live_step(time, carry, r):
+        o, d, thr, L = carry
+        idx, ndir, refl = r
+        if isinstance(ndir, tuple):
+            ndx, ndy, ndz = ndir
+        else:
+            ndx, ndy, ndz = ndir[:, 0], ndir[:, 1], ndir[:, 2]
+        hit = idx >= 0
+        miss = idx == MISS
+        i = jnp.maximum(idx, 0)
+
+        A = gather_cols(table_t, i)  # [13, R]
+        c0x, c0y, c0z = A[0], A[1], A[2]
+        cdx, cdy, cdz = A[3], A[4], A[5]
+        rad = A[6]
+        alr, alg, alb = A[7], A[8], A[9]
+        fz = A[10]
+        ior = A[11]
+        mat = A[12].astype(jnp.int32)
+
+        ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+        dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+
+        ccx = c0x + time * cdx
+        ccy = c0y + time * cdy
+        ccz = c0z + time * cdz
+        ocx = ox - ccx; ocy = oy - ccy; ocz = oz - ccz
+        a = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20)
+        hb = ocx * dx + ocy * dy + ocz * dz
+        cq = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = hb * hb - a * cq
+        dpos = disc > 0.0
+        sq = jnp.sqrt(jnp.where(dpos, disc, 1.0))
+        r0 = (-hb - sq) / a
+        r1 = (-hb + sq) / a
+        t = jnp.where(r0 > T_MIN, r0, r1)
+        t = jnp.where(hit, t, 1.0)
+
+        px = ox + t * dx; py = oy + t * dy; pz = oz + t * dz
+        r_safe = jnp.where(rad != 0.0, rad, 1.0)
+        owx = (px - ccx) / r_safe
+        owy = (py - ccy) / r_safe
+        owz = (pz - ccz) / r_safe
+        front = dx * owx + dy * owy + dz * owz < 0.0
+        sgn = jnp.where(front, 1.0, -1.0)
+        nx = owx * sgn; ny = owy * sgn; nz = owz * sgn
+
+        sky = sky_color(d)
+        m = miss.astype(thr.dtype)
+        L = L + (m[:, None] * thr) * sky
+        is_die = mat == DIELECTRIC
+        h = hit.astype(thr.dtype)[:, None]
+        att = jnp.stack([
+            jnp.where(is_die, 1.0, alr), jnp.where(is_die, 1.0, alg),
+            jnp.where(is_die, 1.0, alb),
+        ], axis=-1)
+        thr = thr * (1.0 - h) + thr * att * h
+
+        inv_len = jax.lax.rsqrt(a)
+        udx = dx * inv_len; udy = dy * inv_len; udz = dz * inv_len
+
+        # lambertian: recorded dir = n + u, u parameter-independent
+        lamx = nx + (sg(ndx) - sg(nx))
+        lamy = ny + (sg(ndy) - sg(ny))
+        lamz = nz + (sg(ndz) - sg(nz))
+
+        # metal: recorded dir = reflect + fuzz * f
+        udn = udx * nx + udy * ny + udz * nz
+        rflx = udx - 2.0 * udn * nx
+        rfly = udy - 2.0 * udn * ny
+        rflz = udz - 2.0 * udn * nz
+        fz_obs = sg(fz)
+        fdiv = jnp.maximum(fz_obs, 1e-6)
+        fmask = (fz_obs > 1e-6).astype(fz.dtype)
+        fcx = fmask * (sg(ndx) - sg(rflx)) / fdiv
+        fcy = fmask * (sg(ndy) - sg(rfly)) / fdiv
+        fcz = fmask * (sg(ndz) - sg(rflz)) / fdiv
+        metx = rflx + fz * fcx
+        mety = rfly + fz * fcy
+        metz = rflz + fz * fcz
+
+        # dielectric: recorded branch bit
+        ratio = jnp.where(front, 1.0 / ior, ior)
+        cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+        perpx = ratio * (udx + cos_t * nx)
+        perpy = ratio * (udy + cos_t * ny)
+        perpz = ratio * (udz + cos_t * nz)
+        k = jnp.abs(1.0 - (perpx * perpx + perpy * perpy + perpz * perpz))
+        spar = -jnp.sqrt(k)
+        diex = jnp.where(refl, rflx, perpx + spar * nx)
+        diey = jnp.where(refl, rfly, perpy + spar * ny)
+        diez = jnp.where(refl, rflz, perpz + spar * nz)
+
+        is_lam = mat == LAMBERTIAN
+        is_met = mat == METAL
+        ndx_o = jnp.where(is_lam, lamx, jnp.where(is_met, metx, diex))
+        ndy_o = jnp.where(is_lam, lamy, jnp.where(is_met, mety, diey))
+        ndz_o = jnp.where(is_lam, lamz, jnp.where(is_met, metz, diez))
+
+        hitf = hit.astype(o.dtype)
+        o = jnp.stack([
+            ox + hitf * (px - ox), oy + hitf * (py - oy),
+            oz + hitf * (pz - oz),
+        ], axis=-1)
+        d = jnp.stack([
+            dx + hitf * (ndx_o - dx), dy + hitf * (ndy_o - dy),
+            dz + hitf * (ndz_o - dz),
+        ], axis=-1)
+        return (o, d, thr, L)
+
+    return _live_step
+
+
 def replay_radiance_twophase(
     params: SceneParams,
     scene: Scene,
@@ -390,6 +546,7 @@ def replay_radiance(
     res: PathResiduals,
     n_groups: int = 1,
     skip_dead: bool | None = None,
+    gather: str | None = None,
 ) -> jnp.ndarray:
     """Differentiable replay of recorded paths: radiance [R, 3] as a
     function of `params`, with all discrete decisions frozen to `res`.
@@ -433,12 +590,19 @@ def replay_radiance(
     # (1200x675 one-hot: 0.27 us/ray vs 400px take: 0.75) AND avoids the
     # hoisted-[D, R, 128] OOM hazard entirely. Rule: take for shallow
     # recordings, one-hot for deep.
-    gather_rows = _make_gather_rows(
-        n_spheres, onehot_fwd=res.idx.shape[0] > 16
-    )
-
+    # `gather` override: None = the measured per-depth rule below;
+    # "colT" = the ray-minor transposed MXU gather (_make_gather_cols) —
+    # ~8x fewer MAC slots per step than the [R, C] one-hot at C=13.
     table = _attr_table(scene_p, scene)
-    _live_step = _make_live_step(table, gather_rows)
+    if gather == "colT":
+        _live_step = _make_live_step_cols(
+            jnp.transpose(table), _make_gather_cols(n_spheres)
+        )
+    else:
+        gather_rows = _make_gather_rows(
+            n_spheres, onehot_fwd=res.idx.shape[0] > 16
+        )
+        _live_step = _make_live_step(table, gather_rows)
 
     def step(tm, carry, r):
         pred, rr = r

@@ -262,3 +262,61 @@ def test_replay_dead_depth_predicate_skips():
     )
     deep = replay_radiance(params, scene, o, d, t, res50, n_groups=4)
     np.testing.assert_allclose(np.asarray(deep), np.asarray(base), atol=1e-6)
+
+
+def test_colT_gather_grads_match_default():
+    """The ray-minor transposed MXU gather (gather="colT") must produce the
+    same radiance and gradients as the default replay — it is the same
+    one-hot algebra relaid for the MXU.
+
+    Gradient equality is asserted at depth 3: a SINGLE replay step agrees
+    to ~2e-7 (measured), but bounce chains amplify fp noise through
+    reflect-derivative curvature factors (~|2t/r| per bounce), so ANY two
+    fp-equivalent step implementations diverge by percents at depth 6 —
+    the comparison depth must stay in the well-conditioned regime. Values
+    (no derivative chains) are asserted at depth 6."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracingproject_tpu.camera import Camera, generate_rays
+    from raytracingproject_tpu.grad.inverse import extract_params
+    from raytracingproject_tpu.grad.replay import (
+        replay_radiance, xla_trace_record,
+    )
+    from raytracingproject_tpu.scene import make_three_sphere_scene
+
+    scene = make_three_sphere_scene()
+    cam = Camera(
+        aspect_ratio=16.0 / 9.0, image_width=64, samples_per_pixel=1,
+        max_depth=6, vfov=90.0, lookfrom=(0.0, 0.0, 0.0),
+        lookat=(0.0, 0.0, -1.0),
+    ).derive()
+    idx = jax.random.randint(jax.random.PRNGKey(0), (1500,), 0, 64 * 36)
+    o, d, t = generate_rays(
+        cam, (idx % 64).astype(jnp.int32), (idx // 64).astype(jnp.int32),
+        jax.random.PRNGKey(1),
+    )
+    params = extract_params(scene)
+
+    def loss(gather, res):
+        def f(p):
+            out = replay_radiance(p, scene, o, d, t, res, gather=gather)
+            return jnp.mean(out ** 2)
+
+        return f
+
+    # depth-6 value equality
+    _, res6 = xla_trace_record(scene, o, d, t, jax.random.PRNGKey(2), 6)
+    va = loss(None, res6)(params)
+    vb = loss("colT", res6)(params)
+    np.testing.assert_allclose(float(vb), float(va), rtol=1e-5)
+
+    # depth-3 gradient equality (well-conditioned regime)
+    _, res3 = xla_trace_record(scene, o, d, t, jax.random.PRNGKey(2), 3)
+    ga = jax.grad(loss(None, res3))(params)
+    gb = jax.grad(loss("colT", res3))(params)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        denom = np.linalg.norm(np.asarray(a)) + 1e-12
+        rel = np.linalg.norm(np.asarray(b) - np.asarray(a)) / denom
+        assert rel < 1e-3, rel

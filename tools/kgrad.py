@@ -110,8 +110,10 @@ def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
     # flagship residuals (650 MB) blew the remote compiler's request limit
     replay_ops = (res0.idx, res0.ndir, res0.refl, o0, d0, t0)
 
-    def make_replay_bwd(groups, skip=None):
+    def make_replay_bwd(groups, skip=None, gather=None):
         kw = {"skip_dead": skip} if has_skip else {}
+        if gather:
+            kw["gather"] = gather
 
         def p(key, ri, rn, rr, o_, d_, t_):
             res = PathResiduals(idx=ri, ndir=rn, refl=rr)
@@ -167,6 +169,9 @@ def run(width: int = 200, spp: int = 2, depth: int = 8) -> dict:
         ("replay_bwd", make_replay_bwd(1), replay_ops),  # plain (default)
         ("replay_bwd_skip", make_replay_bwd(1, skip=True), replay_ops),
         (f"replay_bwd_g{GROUPS}", make_replay_bwd(GROUPS), replay_ops),
+        # ray-minor transposed MXU gather (round-5): the [R, C] one-hot
+        # pads C=13 -> 128 lanes, ~8x wasted MAC slots per step
+        ("replay_bwd_colT", make_replay_bwd(1, gather="colT"), replay_ops),
     ]
 
     extra = set(

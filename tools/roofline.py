@@ -145,7 +145,13 @@ def measure_mixed_peak(n_spheres: int = 488, tiles: int = 64) -> float:
         inv_a = 1.0 / a
         rays = (ox, oy, oz, dx, dy, dz, tm, a, inv_a)
         hc = _closest_hit_brute(sph_ref, rays, 1e-3, n_pad, (SUB, LANES))
-        o_ref[:] = hc[0] + hc[6] + hc[5]  # consume best-t + attrs + packed mat/idx
+        # consume EVERY carry: leaving any unconsumed lets Mosaic DCE its
+        # per-sphere select and the "peak" silently measures a partial op
+        # mix (batch-2 run recorded a 9.13x-FMA mirage exactly this way)
+        acc = hc[0]
+        for h in hc[1:]:
+            acc = acc + h
+        o_ref[:] = acc
 
     spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
