@@ -312,11 +312,53 @@ def test_colT_gather_grads_match_default():
     vb = loss("colT", res6)(params)
     np.testing.assert_allclose(float(vb), float(va), rtol=1e-5)
 
-    # depth-3 gradient equality (well-conditioned regime)
-    _, res3 = xla_trace_record(scene, o, d, t, jax.random.PRNGKey(2), 3)
-    ga = jax.grad(loss(None, res3))(params)
-    gb = jax.grad(loss("colT", res3))(params)
+    # depth-2 gradient agreement in f32 (short chain keeps amplification
+    # bounded; measured ~1e-6 here vs percents at depth 6)
+    _, res2 = xla_trace_record(scene, o, d, t, jax.random.PRNGKey(2), 2)
+    ga = jax.grad(loss(None, res2))(params)
+    gb = jax.grad(loss("colT", res2))(params)
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         denom = np.linalg.norm(np.asarray(a)) + 1e-12
         rel = np.linalg.norm(np.asarray(b) - np.asarray(a)) / denom
         assert rel < 1e-3, rel
+
+
+def test_colT_gather_grads_match_default_f64():
+    """The decisive equality check: in float64 the two gathers agree to
+    1e-14 at depth 6 (measured 1.7e-14) — the f32 depth-6 divergence is
+    noise amplified through reflect-curvature chains, not semantics.
+    Run in a SUBPROCESS because jax_enable_x64 is process-global."""
+    import subprocess
+    import sys
+
+    code = """
+import os
+os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=8'
+import jax; jax.config.update('jax_platforms','cpu'); jax.config.update('jax_enable_x64', True)
+import jax.numpy as jnp
+from raytracingproject_tpu.camera import Camera, generate_rays
+from raytracingproject_tpu.grad.inverse import extract_params
+from raytracingproject_tpu.grad import replay as rp
+from raytracingproject_tpu.scene import make_three_sphere_scene
+scene = make_three_sphere_scene()
+f64 = lambda tr: jax.tree.map(lambda x: x.astype(jnp.float64) if jnp.issubdtype(x.dtype, jnp.floating) else x, tr)
+scene = f64(scene)
+cam = Camera(aspect_ratio=16/9, image_width=64, samples_per_pixel=1, max_depth=6,
+             vfov=90.0, lookfrom=(0,0,0), lookat=(0,0,-1)).derive(jnp.float64)
+idx = jax.random.randint(jax.random.PRNGKey(0), (800,), 0, 64*36)
+o, d, t = f64(generate_rays(cam, (idx%64).astype(jnp.int32), (idx//64).astype(jnp.int32), jax.random.PRNGKey(1)))
+rad, res = rp.xla_trace_record(scene, o, d, t, jax.random.PRNGKey(2), 6)
+params = f64(extract_params(scene))
+def loss(gather):
+    return lambda p: jnp.mean(rp.replay_radiance(p, scene, o, d, t, res, gather=gather) ** 2)
+ga = jax.grad(loss(None))(params)
+gb = jax.grad(loss('colT'))(params)
+rel = max(float(jnp.linalg.norm(a-b)/(jnp.linalg.norm(a)+1e-15))
+          for a,b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)))
+assert rel < 1e-9, rel
+print('ok', rel)
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd="/root/repo", timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ok" in out.stdout
