@@ -191,6 +191,14 @@ def main() -> None:
             )
             paths["fast_twophase"] = (tstep, tp, to)
             if deep:
+                # round-5: the ray-minor transposed MXU replay gather —
+                # the [R, C] one-hot pads C=13 -> 128 lanes (~8x wasted
+                # MAC slots/step, the deep backward's dominant cost)
+                cp, co, cstep = make_fast_train_step(
+                    scene, cam, opt, spp=spp, trainable=TRAINABLE,
+                    replay_gather="colT",
+                )
+                paths["fast_colT"] = (cstep, cp, co)
                 # controls: the cond-predicated dead-skip and the
                 # death-depth-sorted grouped replay — both measured slower
                 # than the plain scan once the hybrid gather landed; the
@@ -283,6 +291,7 @@ def main() -> None:
         ratio("fast", "xla", "fast_over_xla")
         ratio("fast", "fast_skip", "fast_over_skip")
         ratio("fast_twophase", "fast", "twophase_over_fast")
+        ratio("fast_colT", "fast", "colT_over_fast")
         artifact["configs"][label] = entry
 
     # Committed artifact for the driver: the second BASELINE metric
