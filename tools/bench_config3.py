@@ -171,7 +171,11 @@ def main() -> None:
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
-        if prev.get("path") != out["path"] or "variants" in prev:
+        if prev.get("path") == out["path"]:
+            # re-run of the same path: replace the top level, keep variants
+            record = {**out, **({"variants": prev["variants"]}
+                                if "variants" in prev else {})}
+        else:
             prev.setdefault("variants", {})[out["path"]] = out
             record = prev
     with open(path, "w") as f:
