@@ -231,6 +231,17 @@ def _make_live_step(table, gather_rows):
             # planar residuals (PathResidualsP): stack per step — fused
             # into the step's elementwise ops, never materialized [D, R, 3]
             ndir = jnp.stack(ndir, axis=-1)
+        # DEGENERATE-DIRECTION GRADIENT GUARD: a lambertian scatter can
+        # record ndir ~ 0 (u ~ -n — the case src/vec3.h's near_zero flags
+        # and src/material.h:19-25 leaves unfixed; we reproduce the
+        # reference estimator). The carry direction then goes ~0 and every
+        # 1/|d|-flavored derivative turns near-singular — measured
+        # NaN-poisoning whole training runs (round 5). Values are kept
+        # EXACT; only the gradient through such a row's direction is
+        # stopped (its true derivative is unbounded there anyway).
+        sgx = jax.lax.stop_gradient
+        d_ok = (jnp.sum(d * d, axis=-1) > 1e-12)[:, None]
+        d = jnp.where(d_ok, d, sgx(d))
         hit = idx >= 0
         miss = idx == MISS
         i = jnp.maximum(idx, 0)
@@ -269,7 +280,13 @@ def _make_live_step(table, gather_rows):
         att = jnp.where((mat == DIELECTRIC)[:, None], 1.0, alb)
         thr = jnp.where(hit[:, None], thr * att, thr)
 
-        ud = normalize(d, eps=1e-12)
+        # Grad-safe unit direction: normalize()'s sqrt differentiates to
+        # inf at |d| == 0, and a degenerate lambertian scatter (u ~ -n,
+        # the case src/vec3.h's near_zero flags) records ndir ~ 0 — the
+        # unguarded form NaN-poisoned geometry gradients (round-5; the
+        # maximum routes the zero-length branch's gradient to the
+        # constant, i.e. zero).
+        ud = d * jax.lax.rsqrt(jnp.maximum(dot(d, d), 1e-24))[:, None]
         # lambertian: recorded dir = n + u, u parameter-independent
         u_const = sg(ndir) - sg(nrm)
         lam_dir = nrm + u_const
@@ -315,6 +332,9 @@ def _make_live_step_cols(table_t, gather_cols):
             ndx, ndy, ndz = ndir
         else:
             ndx, ndy, ndz = ndir[:, 0], ndir[:, 1], ndir[:, 2]
+        # degenerate-direction gradient guard — see _make_live_step
+        d_ok = (jnp.sum(d * d, axis=-1) > 1e-12)[:, None]
+        d = jnp.where(d_ok, d, sg(d))
         hit = idx >= 0
         miss = idx == MISS
         i = jnp.maximum(idx, 0)
@@ -395,8 +415,13 @@ def _make_live_step_cols(table_t, gather_cols):
         perpx = ratio * (udx + cos_t * nx)
         perpy = ratio * (udy + cos_t * ny)
         perpz = ratio * (udz + cos_t * nz)
+        # grad-safe sqrt (the double-where of ops/vecmath.refract): the
+        # derivative of sqrt at 0 is inf, and near-TIR rays reach k == 0 —
+        # an unguarded sqrt here NaN-poisoned whole training runs on
+        # hardware (round-5 batch 3 fast_colT rows)
         k = jnp.abs(1.0 - (perpx * perpx + perpy * perpy + perpz * perpz))
-        spar = -jnp.sqrt(k)
+        k_pos = k > 0.0
+        spar = -jnp.where(k_pos, jnp.sqrt(jnp.where(k_pos, k, 1.0)), 0.0)
         diex = jnp.where(refl, rflx, perpx + spar * nx)
         diey = jnp.where(refl, rfly, perpy + spar * ny)
         diez = jnp.where(refl, rflz, perpz + spar * nz)

@@ -33,11 +33,21 @@ def length(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize(v: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
-    """`unit_vector` (src/vec3.h:117-119). `eps` guards 0-length inputs."""
-    n = length(v)[..., None]
+    """`unit_vector` (src/vec3.h:117-119). `eps` guards 0-length inputs.
+
+    The guard sits BEFORE the square root: `max(sqrt(x), eps)` keeps the
+    VALUE finite but its gradient is `0 * d(sqrt)/dx|_0 = 0 * inf = NaN`
+    at x == 0 — reached through degenerate recorded scatter directions
+    (lambertian u ~ -n, the case src/vec3.h's near_zero flags) and
+    measured NaN-poisoning geometry training (round 5). `max(x, eps^2)`
+    routes the zero-length branch's gradient to the constant instead;
+    values are identical (max commutes with the monotone square)."""
     if eps:
-        n = jnp.maximum(n, eps)
-    return v / n
+        import jax
+
+        inv = jax.lax.rsqrt(jnp.maximum(length_squared(v), eps * eps))
+        return v * inv[..., None]
+    return v / length(v)[..., None]
 
 
 def near_zero(v: jnp.ndarray) -> jnp.ndarray:
