@@ -721,11 +721,19 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
             code_ref, ndx_ref, ndy_ref, ndz_ref = res_refs
             miss_live = alive_b & ~hit
             if res_mask[0]:
-                idx_val = jnp.where(
-                    hit_live, bs, jnp.where(miss_live, -1.0, -2.0)
-                )
-                rfl_bit = jnp.where(hit_live & is_die & do_refl, 1.0, 0.0)
-                code_ref[pl.ds(dep, 1)] = (2.0 * idx_val + rfl_bit)[None]
+                # the RAW packed material slot rides out as the code plane
+                # (hmatp = mat + 4*winner, exact f32 ints; +0.25 flags the
+                # dielectric reflect branch — exact below 2^21). Decoding
+                # (floor/divide) happens in XLA after the kernel: consuming
+                # a floor-decode of the hit carry inside the bounce loop
+                # collapsed the front kernel at depth 50 (KPROBES_r05
+                # record_front_code_only), while storing a carried value
+                # verbatim — like the direction planes — is free.
+                rfl_bit = jnp.where(hit_live & is_die & do_refl, 0.25, 0.0)
+                code_ref[pl.ds(dep, 1)] = jnp.where(
+                    hit_live, hmatp + rfl_bit,
+                    jnp.where(miss_live, -1.0, -2.0),
+                )[None]
             if res_mask[1]:
                 ndx_ref[pl.ds(dep, 1)] = jnp.where(hit_live, sx, 0.0)[None]
             if res_mask[2]:
@@ -788,7 +796,7 @@ def _bounce_loop(seed_ref, closest_hit, ox_ref, oy_ref, oz_ref,
         def dead_fill(d, x):
             if res_mask[0]:
                 res_refs[0][pl.ds(d, 1)] = jnp.full(
-                    (1, SUB, LANES), -4.0, jnp.float32
+                    (1, SUB, LANES), -2.0, jnp.float32
                 )
             for r, m in zip(res_refs[1:], res_mask[1:]):
                 if m:
@@ -1642,13 +1650,12 @@ def pallas_trace_record(
         [rr.reshape(-1)[:R], rg.reshape(-1)[:R], rb.reshape(-1)[:R]], axis=-1
     )
     flat = lambda x: x.reshape(max_depth, -1)[:, :R]
-    ci = flat(code).astype(jnp.int32)
-    idx = ci >> 1  # arithmetic shift floors: -4 -> -2 dead, -2 -> -1 miss
-    refl = (ci & 1) > 0
-    if front is not None:
-        # winner indices are columns of the front-padded table; map back to
-        # the (leaf-ordered) scene the replay differentiates.
-        idx = jnp.where(idx >= 0, jnp.take(front.remap, jnp.maximum(idx, 0)), idx)
+    # winner indices are columns of the front-padded table when `front` is
+    # given; remap maps back to the (leaf-ordered) scene the replay
+    # differentiates.
+    idx, refl = _decode_res(
+        flat(code), front.remap if front is not None else None
+    )
     res = PathResiduals(
         idx=idx,
         ndir=jnp.stack([flat(ndx), flat(ndy), flat(ndz)], axis=-1),
@@ -2065,10 +2072,14 @@ def pallas_trace_paths_twophase(
 
 
 def _decode_res(code, remap):
-    """(idx, refl) from a packed code plane [D, Rp] (see _bounce_loop)."""
-    ci = code.astype(jnp.int32)
-    idx = ci >> 1  # arithmetic shift floors: -4 -> -2 dead, -2 -> -1 miss
-    refl = (ci & 1) > 0
+    """(idx, refl) from a raw code plane [D, Rp]: code = hmatp + 0.25*refl
+    on hits (hmatp = mat + 4*winner), -1 miss, -2 dead (see _bounce_loop).
+    All decoding happens HERE in XLA — the kernel stores the packed
+    material slot verbatim."""
+    hp = jnp.floor(code)
+    refl = (code - hp) > 0.1
+    packed = hp.astype(jnp.int32)
+    idx = jnp.where(packed >= 0, packed >> 2, packed)  # mat in low 2 bits
     if remap is not None:
         idx = jnp.where(idx >= 0, jnp.take(remap, jnp.maximum(idx, 0)), idx)
     return idx, refl
